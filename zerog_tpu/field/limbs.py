@@ -28,7 +28,7 @@ def to_limbs(values, params: FieldParams | None = None, mont: bool = False) -> n
         assert params is not None
         r = params.r_mont
         p = params.p
-        arr = np.frompyfunc(lambda v: (int(v) * r) % p, 1, 1)(arr)
+        arr = np.asarray(np.frompyfunc(lambda v: (int(v) * r) % p, 1, 1)(arr), dtype=object)
     out = np.empty(arr.shape + (NLIMB,), dtype=np.uint32)
     flat = arr.reshape(-1)
     out_flat = out.reshape(-1, NLIMB)
