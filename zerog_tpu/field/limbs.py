@@ -3,8 +3,8 @@
 The host keeps field elements as Python ints (arbitrary precision, exact); the
 device keeps them as ``uint32[..., 16]`` little-endian 16-bit limbs (see
 :mod:`zerog_tpu.field.jfield`). These converters are the only place where the
-two representations meet. They are vectorized with numpy object arrays so that
-whole witness columns convert in one call.
+two representations meet. Conversion is vectorized over whole columns: one
+object-array shift/mask per limb rather than a Python loop per element.
 """
 
 from __future__ import annotations
@@ -28,42 +28,41 @@ def to_limbs(values, params: FieldParams | None = None, mont: bool = False) -> n
         assert params is not None
         r = params.r_mont
         p = params.p
-        arr = np.asarray(np.frompyfunc(lambda v: (int(v) * r) % p, 1, 1)(arr), dtype=object)
+        arr = (arr * r) % p
+        arr = np.asarray(arr, dtype=object)
     out = np.empty(arr.shape + (NLIMB,), dtype=np.uint32)
-    flat = arr.reshape(-1)
-    out_flat = out.reshape(-1, NLIMB)
-    for i, v in enumerate(flat):
-        v = int(v)
+    if arr.ndim == 0:
+        v = int(arr[()])
         for j in range(NLIMB):
-            out_flat[i, j] = (v >> (LIMB_BITS * j)) & MASK
+            out[j] = (v >> (LIMB_BITS * j)) & MASK
+        return out
+    cur = arr
+    for j in range(NLIMB):
+        out[..., j] = (cur & MASK).astype(np.uint32)
+        cur = cur >> LIMB_BITS
     return out
 
 
-def from_limbs(limbs, params: FieldParams | None = None, mont: bool = False) -> np.ndarray:
+def from_limbs(limbs, params: FieldParams | None = None, mont: bool = False):
     """Convert uint32[..., 16] -> object ndarray of Python ints (or a scalar
     int for a single element). If ``mont``, converts out of Montgomery form."""
     limbs = np.asarray(limbs)
     shape = limbs.shape[:-1]
-    flat = limbs.reshape(-1, NLIMB)
-    out = np.empty((flat.shape[0],), dtype=object)
-    for i in range(flat.shape[0]):
-        v = 0
-        for j in range(NLIMB - 1, -1, -1):
-            v = (v << LIMB_BITS) | int(flat[i, j])
-        out[i] = v
+    acc = np.zeros(shape if shape else (), dtype=object)
+    for j in range(NLIMB - 1, -1, -1):
+        acc = (acc << LIMB_BITS) | limbs[..., j].astype(object)
     if mont:
         assert params is not None
         rinv = pow(params.r_mont, -1, params.p)
-        p = params.p
-        out = np.frompyfunc(lambda v: (v * rinv) % p, 1, 1)(out)
+        acc = (acc * rinv) % params.p
     if shape == ():
-        return out[0]
-    return out.reshape(shape)
+        return int(acc[()]) if isinstance(acc, np.ndarray) else int(acc)
+    return np.asarray(acc, dtype=object)
 
 
 def ints_to_mont_limbs(values, params: FieldParams) -> np.ndarray:
     return to_limbs(values, params, mont=True)
 
 
-def mont_limbs_to_ints(limbs, params: FieldParams) -> np.ndarray:
+def mont_limbs_to_ints(limbs, params: FieldParams):
     return from_limbs(limbs, params, mont=True)

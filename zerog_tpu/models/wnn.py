@@ -99,6 +99,58 @@ class Wnn:
                 scores[c] += self.bloom_filter_lookup(self.bloom_filters[c, n], idx)
         return scores
 
+    # ---- proving workflow (reference src/wnn.rs:175-280) -----------------
+    def get_circuit_params(self):
+        from ..gadgets.wnn_circuit import WnnCircuitParams
+
+        return WnnCircuitParams(
+            p=self.p,
+            l=self.l,
+            n_hashes=self.num_filter_hashes,
+            bits_per_hash=self.bits_per_hash,
+            bits_per_filter=self.num_filter_inputs,
+            n_classes=self.bloom_filters.shape[0],
+        )
+
+    def get_circuit(self, image: np.ndarray):
+        from ..gadgets.wnn_circuit import WnnCircuit
+
+        return WnnCircuit(
+            np.asarray(image), self.bloom_filters, self.binarization_thresholds,
+            self.input_permutation, self.get_circuit_params(),
+        )
+
+    def mock_proof(self, image: np.ndarray, k: int):
+        """Assert all constraints are satisfied (reference src/wnn.rs:204-210)."""
+        from ..plonk.mock import MockProver
+
+        outputs = [int(v) for v in self.predict(image)]
+        prover = MockProver.run(self.get_circuit(image), [outputs], k=k)
+        prover.assert_satisfied()
+
+    def generate_proving_key(self, srs):
+        """Keys are input-independent: synthesize with a dummy zero image
+        (reference src/wnn.rs:219-229)."""
+        from ..plonk.keygen import keygen
+
+        dummy = np.zeros(self.img_shape, dtype=np.uint8)
+        return keygen(self.get_circuit(dummy), srs.k, srs)
+
+    def proof(self, pk, srs, image: np.ndarray, rng_seed=None):
+        """Returns (proof_bytes, outputs) (reference src/wnn.rs:232-262)."""
+        from ..plonk.prover import create_proof
+
+        outputs = [int(v) for v in self.predict(image)]
+        proof = create_proof(pk, srs, self.get_circuit(image), [outputs],
+                             rng_seed=rng_seed)
+        return proof, outputs
+
+    @staticmethod
+    def verify_proof(proof: bytes, srs, vk, outputs) -> bool:
+        from ..plonk.verifier import verify_proof
+
+        return verify_proof(vk, srs, [[int(v) for v in outputs]], proof)
+
     # ---- TPU inference ---------------------------------------------------
     def predict_fn(self):
         """Returns a jittable ``f(image_u8[W, H]) -> scores_i32[C]``.
