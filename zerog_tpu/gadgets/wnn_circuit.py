@@ -65,7 +65,12 @@ class WnnCircuit:
         )
 
     def configure(self, cs: ConstraintSystem):
-        params = self.params
+        return self.configure_with_params(cs, self.params)
+
+    @staticmethod
+    def configure_with_params(cs: ConstraintSystem, params: WnnCircuitParams):
+        """Shape-only configuration (reference src/gadgets/wnn.rs:334-371);
+        used to reconstruct keys against the circuit shape without model data."""
         instance = cs.instance_column()
         advice = [cs.advice_column() for _ in range(6)]
         for col in advice:

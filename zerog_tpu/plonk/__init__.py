@@ -13,5 +13,6 @@ __all__ = [
     "Product", "Scaled", "ConstraintSystem", "Column", "Selector",
     "TableColumn", "Assignment", "Cell", "MockProver",
     "keygen", "VerifyingKey", "ProvingKey", "create_proof", "Drbg",
-    "verify_proof",
+    "verify_proof", "render_layout",
 ]
+from .layout import render_layout

@@ -146,7 +146,7 @@ class _ExtOps:
 
 
 def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
-                 transcript=None):
+                 transcript=None, debug=None):
     """instances: list of per-column public value lists. Returns proof bytes."""
     vk = pk.vk
     cs = vk.cs
@@ -276,8 +276,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     zs_all = list(perm_zs) + list(lookup_zs)
     lk_polys = []
     for lc in lookups:
-        lk_polys.extend([lc.permuted_input, lc.permuted_table,
-                         lc.compressed_input, lc.compressed_table])
+        lk_polys.extend([lc.permuted_input, lc.permuted_table])
     aux_lag = _to_dev_lagrange(zs_all + lk_polys) if (zs_all or lk_polys) else None
     aux_coeff = domain.lagrange_to_coeff(aux_lag) if aux_lag is not None else None
     aux_ext = domain.coeff_to_extended(aux_coeff) if aux_lag is not None else None
@@ -285,12 +284,26 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     perm_z_ext = [aux_ext[i] for i in range(len(perm_zs))]
     lookup_z_ext = [aux_ext[len(perm_zs) + i] for i in range(len(lookup_zs))]
     base = len(zs_all)
+
+    def _theta_fold_ext(exprs, theta_c):
+        # acc = acc * theta + expr(X), evaluated via the column cosets — the
+        # verifier folds expression *evals* the same way, so the quotient must
+        # use the expression composition, not the interpolated value column.
+        acc = None
+        for e in exprs:
+            v = evaluate(e, ops)
+            if v.ndim == 1:
+                v = jnp.broadcast_to(v, (domain.extended_n, 16))
+            acc = v if acc is None else ext.add(ext.mul(acc, theta_c), v)
+        return acc
+
+    theta_c = ext.const(theta)
     lookup_aux_ext = [
         dict(
-            a_perm=aux_ext[base + 4 * i],
-            s_perm=aux_ext[base + 4 * i + 1],
-            a_comp=aux_ext[base + 4 * i + 2],
-            s_comp=aux_ext[base + 4 * i + 3],
+            a_perm=aux_ext[base + 2 * i],
+            s_perm=aux_ext[base + 2 * i + 1],
+            a_comp=_theta_fold_ext([e for e, _ in cs.lookups[i][1]], theta_c),
+            s_comp=_theta_fold_ext([t for _, t in cs.lookups[i][1]], theta_c),
         )
         for i in range(len(lookups))
     ]
@@ -301,22 +314,27 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     one_c = ext.const(1)
 
     terms = []
-    for _, polys in cs.gates:
-        for poly in polys:
+    term_names = []
+    for gname, polys in cs.gates:
+        for pi, poly in enumerate(polys):
             terms.append(evaluate(poly, ops))
+            term_names.append(f"gate {gname}/{pi}")
 
     if cs.permutation_columns:
         chunk = cs.permutation_chunk_len()
         sets = [perm_z_ext[i] for i in range(len(perm_zs))]
         # 1. l_0 (1 - z_0)
         terms.append(ext.mul(ext.l0, ext.sub(one_c, sets[0])))
+        term_names.append("perm l0")
         # 2. l_last (z_l^2 - z_l)
         zl = sets[-1]
         terms.append(ext.mul(ext.l_last, ext.sub(ext.mul(zl, zl), zl)))
+        term_names.append("perm l_last")
         # 3. l_0 (z_i - z_{i-1}(w^u X))
         for i in range(1, len(sets)):
             prev_rot = ext.rot(sets[i - 1], -(bf + 1))
             terms.append(ext.mul(ext.l0, ext.sub(sets[i], prev_rot)))
+            term_names.append(f"perm chain {i}")
         # 4. product rule per set
         for si, start in enumerate(range(0, len(cs.permutation_columns), chunk)):
             cols = cs.permutation_columns[start : start + chunk]
@@ -331,6 +349,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
                 delta_j = ext.const(pow(FR.delta, j, p) * beta % p)
                 right = ext.mul(right, ext.add(ext.add(ve, ext.mul(delta_j, ext.x_ext)), gamma_c))
             terms.append(ext.mul(ext.l_active, ext.sub(left, right)))
+            term_names.append(f"perm prod {si}")
 
     for li in range(len(lookups)):
         z = lookup_z_ext[li]
@@ -340,19 +359,24 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         a_comp, s_comp = aux["a_comp"], aux["s_comp"]
         # 1. l_0 (1 - z)
         terms.append(ext.mul(ext.l0, ext.sub(one_c, z)))
+        term_names.append(f"lk{li} l0")
         # 2. l_last (z^2 - z)
         terms.append(ext.mul(ext.l_last, ext.sub(ext.mul(z, z), z)))
+        term_names.append(f"lk{li} l_last")
         # 3. active (z' (A'+b)(S'+g) - z (A+b)(S+g))
         lhs = ext.mul(z_next, ext.mul(ext.add(a_perm, beta_c), ext.add(s_perm, gamma_c)))
         rhs = ext.mul(z, ext.mul(ext.add(a_comp, beta_c), ext.add(s_comp, gamma_c)))
         terms.append(ext.mul(ext.l_active, ext.sub(lhs, rhs)))
+        term_names.append(f"lk{li} prod")
         # 4. l_0 (A' - S')
         terms.append(ext.mul(ext.l0, ext.sub(a_perm, s_perm)))
+        term_names.append(f"lk{li} l0 A'S'")
         # 5. active (A'-S')(A'-A'(w^-1 X))
         a_prev = ext.rot(a_perm, -1)
         terms.append(
             ext.mul(ext.l_active, ext.mul(ext.sub(a_perm, s_perm), ext.sub(a_perm, a_prev)))
         )
+        term_names.append(f"lk{li} dedup")
 
     y_c = ext.const(y)
     h_ext = None
@@ -386,7 +410,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     )
     perm_z_coeff = aux_coeff_h[: len(perm_zs)]
     lookup_z_coeff = aux_coeff_h[len(perm_zs) : len(zs_all)]
-    lk_coeffs = aux_coeff_h[len(zs_all) :]
+    lk_coeffs_pairs = aux_coeff_h[len(zs_all) :]
+    # [A'_i, S'_i] interleaved per lookup; keep 4-stride layout for callers
+    lk_coeffs = []
+    for i in range(len(lookups)):
+        lk_coeffs.extend([lk_coeffs_pairs[2 * i], lk_coeffs_pairs[2 * i + 1], None, None])
 
     def horner(coeffs, pt):
         acc = 0
@@ -451,6 +479,21 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         queries.append(ProverQuery(sc, 0))
     queries.append(ProverQuery(h_combined, 0))
     queries.append(ProverQuery(random_poly, 0))
+
+    if debug is not None:
+        debug["terms_ext"] = terms
+        debug["term_names"] = term_names
+        debug["ext_helper"] = ext
+        debug.update(dict(
+            advice=advice, fixed=asn.fixed, inst=inst_padded, lookups=lookups,
+            perm_zs=perm_zs, lookup_zs=lookup_zs, random_poly=random_poly,
+            h_pieces=h_pieces, theta=theta, beta=beta, gamma=gamma, y=y, x=x,
+            domain=domain, cs=cs, usable=usable, bf=bf,
+            sigma_values=pk.sigma_values,
+            adv_coeff_h=adv_coeff_h, fix_coeff_h=fix_coeff_h,
+            sigma_coeff_h=sigma_coeff_h, perm_z_coeff=perm_z_coeff,
+            lookup_z_coeff=lookup_z_coeff, lk_coeffs=lk_coeffs,
+        ))
 
     multiopen_prove(queries, x, domain, srs, transcript)
 
