@@ -58,9 +58,15 @@ def jac_double(p):
 
 
 def jac_select(cond, p, q):
-    """Per-lane select: cond bool[...] -> p where True else q."""
-    f = _f
-    return tuple(f.select(cond, a, b) for a, b in zip(p, q))
+    """Per-lane select: cond bool[...] -> p where True else q. The mask may
+    cover only leading batch axes; trailing axes broadcast."""
+    out = []
+    for a, b in zip(p, q):
+        c = cond
+        while c.ndim < a.ndim:
+            c = c[..., None]
+        out.append(jnp.where(c, a, b))
+    return tuple(out)
 
 
 def jac_add(p, q):

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..field import FR, to_limbs
 from .jpoints import (
-    jac_add, jac_select, jac_from_affine, jac_infinity, jac_roll,
+    jac_add, jac_double, jac_select, jac_from_affine, jac_infinity, jac_roll,
     points_from_device, points_to_device,
 )
 from .bn254 import g1_add, g1_double
@@ -103,17 +103,30 @@ def _one_window(d, px, py, pvalid, c: int):
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
+def _digits_device(scalar_limbs, c: int):
+    return _digits(scalar_limbs, c)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _window_device(d_w, px, py, pvalid, c: int):
+    """One window's bucket sums for a batch of scalar rows: d_w int32[B, N]."""
+    return jax.vmap(lambda d: _one_window(d, px, py, pvalid, c))(d_w)
+
+
 def msm_device(scalar_limbs, px, py, pvalid, c: int):
     """scalar_limbs: uint32[B, N, 16] canonical; points: mont affine [N, 16].
-    Returns Jacobian window sums, components shaped [B, W, 16]."""
-    digits = _digits(scalar_limbs, c)  # [W, B, N]
+    Returns Jacobian window sums, components shaped [B, W, 16].
 
-    def window_body(_, d_w):
-        res = jax.vmap(lambda d: _one_window(d, px, py, pvalid, c))(d_w)
-        return None, res
-
-    _, sums = jax.lax.scan(window_body, None, digits)  # components [W, B, 16]
-    return tuple(jnp.swapaxes(comp, 0, 1) for comp in sums)
+    Windows are dispatched as separate device launches (a host loop) rather
+    than one scanned mega-program: per-launch runtime and memory stay small,
+    which matters both for latency-hiding and for runtime stability.
+    """
+    digits = _digits_device(scalar_limbs, c)  # [W, B, N]
+    w = digits.shape[0]
+    sums = [_window_device(digits[i], px, py, pvalid, c) for i in range(w)]
+    return tuple(
+        jnp.stack([s[comp] for s in sums], axis=1) for comp in range(3)
+    )
 
 
 def _fold_windows_host(window_points, c: int):
@@ -126,23 +139,80 @@ def _fold_windows_host(window_points, c: int):
     return acc
 
 
-def msm(scalars, points_dev, c: int | None = None):
+BIT_CHUNK = 32
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bits_device(scalar_limbs):
+    """uint32[B, N, 16] -> bool[256, B, N], MSB first (top 2 bits are zero
+    for canonical Fr scalars; leading zeros are free in double-and-add)."""
+    rows = []
+    for j in range(255, -1, -1):
+        rows.append(((scalar_limbs[..., j // 16] >> (j % 16)) & 1) > 0)
+    return jnp.stack(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _danaa_chunk(acc, bits_chunk, px, py, pvalid):
+    """BIT_CHUNK double-and-add steps. acc: Jacobian [B, N]; bits_chunk:
+    bool[BIT_CHUNK, B, N] (MSB first). One modest compile, reused for every
+    chunk of every MSM — keeps each device program small."""
+    b, n = bits_chunk.shape[1], bits_chunk.shape[2]
+    base = jac_from_affine(
+        jnp.broadcast_to(px, (b, n, 16)),
+        jnp.broadcast_to(py, (b, n, 16)),
+        jnp.broadcast_to(pvalid, (b, n)),
+    )
+
+    def step(acc, bit_row):
+        acc = jac_double(acc)
+        added = jac_add(acc, base)
+        return jac_select(bit_row, added, acc), None
+
+    acc, _ = jax.lax.scan(step, acc, bits_chunk)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reduce_lanes(acc):
+    """Fold the N axis of Jacobian [B, N] points into [B]."""
+    n = acc[0].shape[1]
+    acc_t = tuple(jnp.swapaxes(comp, 0, 1) for comp in acc)  # [N, B, 16]
+    total = _suffix_scan(acc_t, n)
+    return tuple(comp[0] for comp in total)
+
+
+def _msm_danaa_device(bits, px, py, pvalid):
+    """Lane-parallel double-and-add MSM, chunk-dispatched.
+
+    bits: bool[256, B, N] (MSB first); points: mont affine [N, 16].
+    Returns Jacobian [B] points. Chosen over the sort/scatter Pippenger
+    pipeline as the default: with a ~23-mul unified add the per-window
+    segmented scans cost more mul-passes than one straight double-and-add,
+    and this uses only runtime-stable constructs.
+    """
+    b, n = bits.shape[1], bits.shape[2]
+    acc = jac_infinity((b, n))
+    for i in range(0, 256, BIT_CHUNK):
+        acc = _danaa_chunk(acc, bits[i : i + BIT_CHUNK], px, py, pvalid)
+    return _reduce_lanes(acc)
+
+
+def msm(scalars, points_dev, c: int | None = None, strategy: str = "danaa"):
     """Host-facing MSM.
 
     scalars: 2D list/array [B][N] of ints in [0, r) (or 1D for B=1);
     points_dev: (px, py, pvalid) from :func:`points_to_device`.
     Returns list of B affine points (or a single point for 1D input).
 
-    The batch dimension is padded up to a small set of bucket sizes so the
-    jitted graph is reused across phases instead of recompiling per B.
+    The batch dimension is padded up to a power of two so the jitted graph is
+    reused across phases instead of recompiling per B.
     """
     single = not isinstance(scalars[0], (list, tuple, np.ndarray))
     if single:
         scalars = [scalars]
     px, py, pvalid = points_dev
     n = px.shape[0]
-    if c is None:
-        c = max(1, min(15, n.bit_length() - 2))
     b_real = len(scalars)
     b_pad = 1
     while b_pad < b_real:
@@ -150,6 +220,16 @@ def msm(scalars, points_dev, c: int | None = None):
     if b_pad > b_real:
         scalars = list(scalars) + [[0] * len(scalars[0])] * (b_pad - b_real)
     sl = to_limbs(np.asarray(scalars, dtype=object) % FR.p)
+
+    if strategy == "danaa":
+        bits = _bits_device(jnp.asarray(sl))
+        acc = _msm_danaa_device(bits, px, py, jnp.asarray(pvalid))
+        acc = tuple(comp[:b_real] for comp in acc)
+        results = points_from_device(acc)
+        return results[0] if single else results
+
+    if c is None:
+        c = max(1, min(15, n.bit_length() - 2))
     sums = msm_device(jnp.asarray(sl), px, py, jnp.asarray(pvalid), c)
     sums = tuple(comp[:b_real] for comp in sums)
     b = b_real
@@ -164,9 +244,9 @@ def msm(scalars, points_dev, c: int | None = None):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _expand_body(bits, dx, dy):
+def _expand_chunk(acc, bits, dx, dy):
+    """Add BIT_CHUNK doubling-table entries (masked) into acc [N]."""
     n = bits.shape[1]
-    acc = jac_infinity((n,))
 
     def step(carry, xs):
         b, x, y = xs
@@ -176,6 +256,22 @@ def _expand_body(bits, dx, dy):
         return jac_add(carry, p), None
 
     acc, _ = jax.lax.scan(step, acc, (bits, dx, dy))
+    return acc
+
+
+def _expand_body(bits, dx, dy):
+    n = bits.shape[1]
+    acc = jac_infinity((n,))
+    # pad the bit rows to a BIT_CHUNK multiple so one compiled chunk is reused
+    total = bits.shape[0]
+    pad = (-total) % BIT_CHUNK
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((pad, n), bool)], axis=0)
+        dx = jnp.concatenate([dx, jnp.zeros((pad, 16), jnp.uint32)], axis=0)
+        dy = jnp.concatenate([dy, jnp.zeros((pad, 16), jnp.uint32)], axis=0)
+    for i in range(0, bits.shape[0], BIT_CHUNK):
+        acc = _expand_chunk(acc, bits[i : i + BIT_CHUNK], dx[i : i + BIT_CHUNK],
+                            dy[i : i + BIT_CHUNK])
     return acc
 
 

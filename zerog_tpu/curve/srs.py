@@ -79,7 +79,7 @@ class Srs:
         return self._lag_dev
 
     # ---- commitments -----------------------------------------------------
-    MAX_BATCH = 8  # commitments per device launch (bounds HBM pressure)
+    MAX_BATCH = 2  # commitments per device launch (compile + HBM bounds)
 
     def _msm_chunked(self, rows, pdev):
         out = []

@@ -51,57 +51,46 @@ def _normalize(cols, ncols: int):
     """Carry-propagate uint32 columns (each < 2^21-ish) into canonical 16-bit
     limbs. Returns (limbs uint32[..., ncols], carry).
 
-    Implemented as a `lax.scan` over the limb axis so the HLO stays tiny —
-    these kernels sit inside point-add scan bodies where unrolled carry
-    chains would blow up compile time."""
+    Deliberately UNROLLED: the carry chain becomes a pure elementwise op
+    chain that XLA fuses into a handful of kernels, so arrays never bounce
+    through HBM per limb. (A lax.scan variant compiles faster but defeats
+    fusion and is ~2 orders of magnitude slower at runtime.)"""
+    out = []
+    carry = jnp.zeros_like(cols[..., 0])
     m = cols.shape[-1]
-    cols_t = jnp.moveaxis(cols, -1, 0)  # [m, ...]
-    if m < ncols:
-        pad = jnp.zeros((ncols - m,) + cols_t.shape[1:], dtype=cols_t.dtype)
-        cols_t = jnp.concatenate([cols_t, pad], axis=0)
-    else:
-        cols_t = cols_t[:ncols]
-
-    def step(carry, row):
-        v = row + carry
-        return v >> LIMB_BITS, v & MASK
-
-    carry, outs = jax.lax.scan(step, jnp.zeros_like(cols_t[0]), cols_t)
-    return jnp.moveaxis(outs, 0, -1), carry
+    for j in range(ncols):
+        v = (cols[..., j] if j < m else jnp.zeros_like(carry)) + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out, axis=-1), carry
 
 
 def _mul_wide(a, b):
     """Full 512-bit product of two 256-bit numbers in 16-bit limbs.
-    a, b: uint32[..., 16] -> uint32[..., 32] canonical limbs.
-
-    Schoolbox accumulation as a scan over `a`'s limbs with a dynamic-slice
-    read-modify-write (column sums stay < 2^21, no overflow)."""
+    a, b: uint32[..., 16] -> uint32[..., 32] canonical limbs. Unrolled
+    schoolbook columns (sums stay < 2^21; no overflow)."""
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, shape + (NLIMB,))
-    b = jnp.broadcast_to(b, shape + (NLIMB,))
     cols = jnp.zeros(shape + (2 * NLIMB + 1,), dtype=jnp.uint32)
-    a_t = jnp.moveaxis(a, -1, 0)  # [16, ...]
-
-    def step(cols, xs):
-        ai, i = xs
-        prod = ai[..., None] * b  # [..., 16]
-        contrib = jnp.concatenate(
-            [prod & MASK, jnp.zeros_like(prod[..., :1])], axis=-1
-        )
-        contrib = contrib.at[..., 1:].add(prod >> LIMB_BITS)  # [..., 17]
-        seg = jax.lax.dynamic_slice_in_dim(cols, i, NLIMB + 1, axis=-1)
-        cols = jax.lax.dynamic_update_slice_in_dim(cols, seg + contrib, i, axis=-1)
-        return cols, None
-
-    cols, _ = jax.lax.scan(step, cols, (a_t, jnp.arange(NLIMB)))
+    for i in range(NLIMB):
+        prod = a[..., i : i + 1] * b  # uint32 products, exact (< 2^32)
+        cols = cols.at[..., i : i + NLIMB].add(prod & MASK)
+        cols = cols.at[..., i + 1 : i + NLIMB + 1].add(prod >> LIMB_BITS)
     limbs, _ = _normalize(cols, 2 * NLIMB)
     return limbs
 
 
 def _mul_low(a, b_const):
     """Low 256 bits of a * b (mod 2^256). b_const: uint32[16] constant."""
-    b = jnp.broadcast_to(jnp.asarray(b_const), a.shape[:-1] + (NLIMB,))
-    return _mul_wide(a, b)[..., :NLIMB]
+    b_const = jnp.asarray(b_const)
+    cols = jnp.zeros(a.shape, dtype=jnp.uint32)
+    for i in range(NLIMB):
+        hi_len = NLIMB - i - 1
+        prod = a[..., i : i + 1] * b_const[None, : NLIMB - i]
+        cols = cols.at[..., i:].add(prod & MASK)
+        if hi_len > 0:
+            cols = cols.at[..., i + 1 :].add(prod[..., :hi_len] >> LIMB_BITS)
+    limbs, _ = _normalize(cols, NLIMB)
+    return limbs
 
 
 class JField:
