@@ -22,6 +22,18 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# XLA:CPU's JIT allocates a mapping per compiled code section; the default
+# vm.max_map_count (65530) is exhausted by this suite's many large unrolled
+# field kernels, surfacing as "LLVM compilation error: Cannot allocate
+# memory" then SIGSEGV. Raise it best-effort (privileged sandboxes only).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1_000_000:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 

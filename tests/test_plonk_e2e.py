@@ -3,7 +3,17 @@ including tamper/negative cases. This exercises the full pipeline: MSM
 commitments, lookup argument, permutation argument, quotient on the extended
 domain, GWC multiopen, Keccak transcript, pairing check."""
 
+import os
+
 import pytest
+
+if not (os.environ.get("ZEROG_SLOW_TESTS") or os.environ.get("ZEROG_TEST_TPU")):
+    pytest.skip(
+        "full prove/verify e2e is compile-bound on XLA:CPU (tens of minutes "
+        "on a cold cache); run with ZEROG_SLOW_TESTS=1, or on the TPU via "
+        "ZEROG_TEST_TPU=1 / the verify skill's CLI pipeline",
+        allow_module_level=True,
+    )
 
 from zerog_tpu.curve import Srs
 from zerog_tpu.field import FR

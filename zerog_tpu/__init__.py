@@ -17,14 +17,29 @@ def _enable_compile_cache():
     and recompiling them per process would dominate wall time."""
     if _os.environ.get("ZEROG_NO_COMPILE_CACHE"):
         return
+    import hashlib
+
     import jax
 
+    # Key the cache by host CPU fingerprint: XLA:CPU AOT artifacts are
+    # machine-feature specific and loading them on a different host can
+    # SIGILL/segfault.
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = [l for l in f if l.startswith(("model name", "flags"))]
+        fp = hashlib.blake2b("".join(info[:2]).encode(), digest_size=6).hexdigest()
+    except OSError:
+        fp = "generic"
     cache_dir = _os.environ.get(
-        "ZEROG_COMPILE_CACHE", _os.path.expanduser("~/.cache/zerog_tpu_jax")
+        "ZEROG_COMPILE_CACHE",
+        _os.path.expanduser(f"~/.cache/zerog_tpu_jax_{fp}"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # XLA-level AOT/autotune sub-caches embed machine features and can
+        # SIGILL when the sandbox migrates hosts; cache only JAX executables.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -145,9 +146,220 @@ class _ExtOps:
         return self.e.mul(a, self.e.const(s))
 
 
+def _count_nodes(e):
+    from .expression import Sum, Product, Scaled
+
+    if isinstance(e, (Sum, Product)):
+        return 1 + _count_nodes(e.a) + _count_nodes(e.b)
+    if isinstance(e, Scaled):
+        return 1 + _count_nodes(e.a)
+    return 1
+
+
+class _EnvOps:
+    """Expression ops over the env pytree, inlined (raw field ops) so whole
+    term chunks trace into single jitted programs."""
+
+    def __init__(self, env, domain):
+        self.env = env
+        self.domain = domain
+        self.f = jfr()
+
+    def rot(self, arr, rotation):
+        if rotation == 0:
+            return arr
+        return self.domain.rotate_extended(arr, rotation)
+
+    def constant(self, c):
+        return jnp.asarray(to_limbs(c % FR.p, FR, mont=True))
+
+    def fixed(self, col, rot):
+        return self.rot(self.env["fix"][col], rot)
+
+    def advice(self, col, rot):
+        return self.rot(self.env["adv"][col], rot)
+
+    def instance(self, col, rot):
+        return self.rot(self.env["inst"][col], rot)
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def mul(self, a, b):
+        return self.f.mul(a, b)
+
+    def scale(self, a, s):
+        return self.f.mul(a, self.constant(s))
+
+    def col(self, column):
+        if column.kind == "advice":
+            return self.env["adv"][column.index]
+        if column.kind == "fixed":
+            return self.env["fix"][column.index]
+        return self.env["inst"][column.index]
+
+
+def _quotient_budget() -> int:
+    """Per-chunk term budget (1 unit ~= one 600-HLO field mul). Large chunks
+    amortize dispatch latency on TPU; XLA:CPU's LLVM backend aborts on jumbo
+    fused programs, so tests/CPU use small ones."""
+    import os as _os
+
+    if _os.environ.get("ZEROG_QUOTIENT_BUDGET"):
+        return int(_os.environ["ZEROG_QUOTIENT_BUDGET"])
+    return 80 if jax.default_backend() != "cpu" else 12
+
+
+def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
+    if budget is None:
+        budget = _quotient_budget()
+    """Build jitted chunk programs that evaluate the quotient constraint terms
+    on the extended domain and fold them with y. Term order mirrors the
+    verifier exactly. Each chunk stays small enough to compile quickly on the
+    device runtime; dispatch count drops from one-per-field-op to
+    one-per-chunk."""
+    p = FR.p
+    f = jfr()
+
+    builders = []  # (cost_estimate, fn(ops, env) -> term array)
+
+    for gname, polys in cs.gates:
+        for poly in polys:
+            builders.append(
+                (_count_nodes(poly), lambda ops, env, poly=poly: evaluate(poly, ops))
+            )
+
+    one_limbs = to_limbs(1, FR, mont=True)
+
+    if cs.permutation_columns:
+        chunk = cs.permutation_chunk_len()
+        num_sets = cs.num_permutation_chunks()
+
+        def perm_l0(ops, env):
+            one = jnp.asarray(one_limbs)
+            return f.mul(env["l0"], f.sub(one, env["perm_z"][0]))
+
+        builders.append((3, perm_l0))
+
+        def perm_llast(ops, env):
+            zl = env["perm_z"][num_sets - 1]
+            return f.mul(env["l_last"], f.sub(f.mul(zl, zl), zl))
+
+        builders.append((3, perm_llast))
+
+        for i in range(1, num_sets):
+            def perm_chain(ops, env, i=i):
+                prev = ops.rot(env["perm_z"][i - 1], -(bf + 1))
+                return f.mul(env["l0"], f.sub(env["perm_z"][i], prev))
+
+            builders.append((3, perm_chain))
+
+        for si, start in enumerate(range(0, len(cs.permutation_columns), chunk)):
+            cols = cs.permutation_columns[start : start + chunk]
+
+            def perm_prod(ops, env, si=si, cols=cols, start=start):
+                z = env["perm_z"][si]
+                left = ops.rot(z, 1)
+                right = z
+                for j, col in enumerate(cols, start=start):
+                    ve = ops.col(col)
+                    sig = env["sigma"][j]
+                    left = f.mul(left, f.add(f.add(ve, f.mul(env["beta"], sig)),
+                                             env["gamma"]))
+                    right = f.mul(
+                        right,
+                        f.add(f.add(ve, f.mul(env["beta_delta"][j], env["x_ext"])),
+                              env["gamma"]),
+                    )
+                return f.mul(env["l_active"], f.sub(left, right))
+
+            builders.append((4 + 4 * len(cols), perm_prod))
+
+    for li, (lname, pairs) in enumerate(cs.lookups):
+        cost = 14 + 2 * sum(_count_nodes(e) for e, _ in pairs) \
+                  + 2 * sum(_count_nodes(t) for _, t in pairs)
+
+        def lookup_terms(ops, env, li=li, pairs=pairs):
+            # returns the 5 terms of this lookup, in verifier order
+            one = jnp.asarray(one_limbs)
+            z = env["lookup_z"][li]
+            z_next = ops.rot(z, 1)
+            a_perm = env["lk_aux"][2 * li]
+            s_perm = env["lk_aux"][2 * li + 1]
+
+            def fold(exprs):
+                acc = None
+                for e in exprs:
+                    v = evaluate(e, ops)
+                    if v.ndim == 1:
+                        v = jnp.broadcast_to(v, a_perm.shape)
+                    acc = v if acc is None else f.add(f.mul(acc, env["theta"]), v)
+                return acc
+
+            a_comp = fold([e for e, _ in pairs])
+            s_comp = fold([t for _, t in pairs])
+            t1 = f.mul(env["l0"], f.sub(one, z))
+            t2 = f.mul(env["l_last"], f.sub(f.mul(z, z), z))
+            lhs = f.mul(z_next, f.mul(f.add(a_perm, env["beta"]),
+                                      f.add(s_perm, env["gamma"])))
+            rhs = f.mul(z, f.mul(f.add(a_comp, env["beta"]),
+                                 f.add(s_comp, env["gamma"])))
+            t3 = f.mul(env["l_active"], f.sub(lhs, rhs))
+            t4 = f.mul(env["l0"], f.sub(a_perm, s_perm))
+            a_prev = ops.rot(a_perm, -1)
+            t5 = f.mul(env["l_active"],
+                       f.mul(f.sub(a_perm, s_perm), f.sub(a_perm, a_prev)))
+            return [t1, t2, t3, t4, t5]
+
+        builders.append((cost, lookup_terms))
+
+    # greedy pack into chunks
+    groups = []
+    cur, cur_cost = [], 0
+    for cost, fn in builders:
+        if cur and cur_cost + cost > budget:
+            groups.append(cur)
+            cur, cur_cost = [], 0
+        cur.append(fn)
+        cur_cost += cost
+    if cur:
+        groups.append(cur)
+
+    chunk_fns = []
+    for group in groups:
+        def chunk_fn(env, h, group=group):
+            ops = _EnvOps(env, domain)
+            for fn in group:
+                out = fn(ops, env)
+                terms = out if isinstance(out, list) else [out]
+                for t in terms:
+                    if t.ndim == 1:
+                        t = jnp.broadcast_to(t, h.shape)
+                    h = f.add(f.mul(h, env["y"]), t)
+            return h
+
+        chunk_fns.append(jax.jit(chunk_fn))
+    return chunk_fns
+
+
 def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
-                 transcript=None, debug=None):
-    """instances: list of per-column public value lists. Returns proof bytes."""
+                 transcript=None, debug=None, timings=None):
+    """instances: list of per-column public value lists. Returns proof bytes.
+
+    `timings`: optional dict filled with per-phase wall times (the framework's
+    tracing hook; SURVEY.md §5 lists the reference as having none built in).
+    """
+    _t0 = time.time()
+    _last = [_t0]
+
+    def _mark(name):
+        if timings is not None:
+            now = time.time()
+            timings[name] = timings.get(name, 0.0) + (now - _last[0])
+            _last[0] = now
+        else:
+            _last[0] = time.time()
+
     vk = pk.vk
     cs = vk.cs
     k = vk.k
@@ -183,10 +395,12 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         for i in range(usable, n):
             col[i] = rng.field()
 
+    _mark("synthesize")
     advice_coms = srs.commit_lagrange([list(c) for c in advice])
     for com in advice_coms:
         transcript.write_point(com)
 
+    _mark("commit_advice")
     theta = transcript.squeeze_challenge()
 
     # ---- phase 2: lookup permuted pairs ----------------------------------
@@ -213,6 +427,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
             transcript.write_point(coms[i])                 # A'
             transcript.write_point(coms[len(lookups) + i])  # S'
 
+    _mark("lookup_permute_commit")
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
 
@@ -240,9 +455,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         transcript.write_point(com)
 
     # ---- phase 4: vanishing random poly ----------------------------------
+    _mark("grand_products_commit")
     random_poly = np.asarray([rng.field() for _ in range(n)], dtype=object)
     transcript.write_point(srs.commit(list(random_poly)))
 
+    _mark("random_poly_commit")
     y = transcript.squeeze_challenge()
 
     # ---- phase 5: quotient on extended domain (TPU) ----------------------
@@ -285,107 +502,33 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     lookup_z_ext = [aux_ext[len(perm_zs) + i] for i in range(len(lookup_zs))]
     base = len(zs_all)
 
-    def _theta_fold_ext(exprs, theta_c):
-        # acc = acc * theta + expr(X), evaluated via the column cosets — the
-        # verifier folds expression *evals* the same way, so the quotient must
-        # use the expression composition, not the interpolated value column.
-        acc = None
-        for e in exprs:
-            v = evaluate(e, ops)
-            if v.ndim == 1:
-                v = jnp.broadcast_to(v, (domain.extended_n, 16))
-            acc = v if acc is None else ext.add(ext.mul(acc, theta_c), v)
-        return acc
+    env = dict(
+        adv=adv_ext, fix=fix_ext, inst=inst_ext,
+        sigma=sigma_ext,
+        perm_z=jnp.stack(perm_z_ext) if perm_z_ext else None,
+        lookup_z=jnp.stack(lookup_z_ext) if lookup_z_ext else None,
+        lk_aux=aux_ext[base:] if len(lookups) else None,  # [2*L, n_ext, 16]
+        l0=ext.l0, l_last=ext.l_last, l_active=ext.l_active, x_ext=ext.x_ext,
+        theta=ext.const(theta), beta=ext.const(beta), gamma=ext.const(gamma),
+        y=ext.const(y),
+        # beta * delta^j, per global permutation column index
+        beta_delta=jnp.stack([
+            ext.const(pow(FR.delta, j, p) * beta % p)
+            for j in range(len(cs.permutation_columns))
+        ]) if cs.permutation_columns else None,
+    )
 
-    theta_c = ext.const(theta)
-    lookup_aux_ext = [
-        dict(
-            a_perm=aux_ext[base + 2 * i],
-            s_perm=aux_ext[base + 2 * i + 1],
-            a_comp=_theta_fold_ext([e for e, _ in cs.lookups[i][1]], theta_c),
-            s_comp=_theta_fold_ext([t for _, t in cs.lookups[i][1]], theta_c),
-        )
-        for i in range(len(lookups))
-    ]
+    chunk_fns = pk._cache.get("quotient_chunks")
+    if chunk_fns is None:
+        chunk_fns = _build_quotient_chunk_fns(cs, domain, bf)
+        pk._cache["quotient_chunks"] = chunk_fns
 
-    # term list, order mirrored by the verifier
-    beta_c = ext.const(beta)
-    gamma_c = ext.const(gamma)
-    one_c = ext.const(1)
-
-    terms = []
-    term_names = []
-    for gname, polys in cs.gates:
-        for pi, poly in enumerate(polys):
-            terms.append(evaluate(poly, ops))
-            term_names.append(f"gate {gname}/{pi}")
-
-    if cs.permutation_columns:
-        chunk = cs.permutation_chunk_len()
-        sets = [perm_z_ext[i] for i in range(len(perm_zs))]
-        # 1. l_0 (1 - z_0)
-        terms.append(ext.mul(ext.l0, ext.sub(one_c, sets[0])))
-        term_names.append("perm l0")
-        # 2. l_last (z_l^2 - z_l)
-        zl = sets[-1]
-        terms.append(ext.mul(ext.l_last, ext.sub(ext.mul(zl, zl), zl)))
-        term_names.append("perm l_last")
-        # 3. l_0 (z_i - z_{i-1}(w^u X))
-        for i in range(1, len(sets)):
-            prev_rot = ext.rot(sets[i - 1], -(bf + 1))
-            terms.append(ext.mul(ext.l0, ext.sub(sets[i], prev_rot)))
-            term_names.append(f"perm chain {i}")
-        # 4. product rule per set
-        for si, start in enumerate(range(0, len(cs.permutation_columns), chunk)):
-            cols = cs.permutation_columns[start : start + chunk]
-            z = sets[si]
-            z_next = ext.rot(z, 1)
-            left = z_next
-            right = z
-            for j, col in enumerate(cols, start=start):
-                ve = col_ext(col)
-                sig = sigma_ext[j]
-                left = ext.mul(left, ext.add(ext.add(ve, ext.mul(beta_c, sig)), gamma_c))
-                delta_j = ext.const(pow(FR.delta, j, p) * beta % p)
-                right = ext.mul(right, ext.add(ext.add(ve, ext.mul(delta_j, ext.x_ext)), gamma_c))
-            terms.append(ext.mul(ext.l_active, ext.sub(left, right)))
-            term_names.append(f"perm prod {si}")
-
-    for li in range(len(lookups)):
-        z = lookup_z_ext[li]
-        aux = lookup_aux_ext[li]
-        z_next = ext.rot(z, 1)
-        a_perm, s_perm = aux["a_perm"], aux["s_perm"]
-        a_comp, s_comp = aux["a_comp"], aux["s_comp"]
-        # 1. l_0 (1 - z)
-        terms.append(ext.mul(ext.l0, ext.sub(one_c, z)))
-        term_names.append(f"lk{li} l0")
-        # 2. l_last (z^2 - z)
-        terms.append(ext.mul(ext.l_last, ext.sub(ext.mul(z, z), z)))
-        term_names.append(f"lk{li} l_last")
-        # 3. active (z' (A'+b)(S'+g) - z (A+b)(S+g))
-        lhs = ext.mul(z_next, ext.mul(ext.add(a_perm, beta_c), ext.add(s_perm, gamma_c)))
-        rhs = ext.mul(z, ext.mul(ext.add(a_comp, beta_c), ext.add(s_comp, gamma_c)))
-        terms.append(ext.mul(ext.l_active, ext.sub(lhs, rhs)))
-        term_names.append(f"lk{li} prod")
-        # 4. l_0 (A' - S')
-        terms.append(ext.mul(ext.l0, ext.sub(a_perm, s_perm)))
-        term_names.append(f"lk{li} l0 A'S'")
-        # 5. active (A'-S')(A'-A'(w^-1 X))
-        a_prev = ext.rot(a_perm, -1)
-        terms.append(
-            ext.mul(ext.l_active, ext.mul(ext.sub(a_perm, s_perm), ext.sub(a_perm, a_prev)))
-        )
-        term_names.append(f"lk{li} dedup")
-
-    y_c = ext.const(y)
-    h_ext = None
-    for t in terms:
-        if h_ext is None:
-            h_ext = t
-        else:
-            h_ext = ext.add(ext.mul(h_ext, y_c), t)
+    h_ext = jnp.zeros((domain.extended_n, 16), dtype=jnp.uint32)
+    for fn in chunk_fns:
+        h_ext = fn(env, h_ext)
     h_ext = domain.divide_by_vanishing_poly(h_ext)
+    if debug is not None:
+        debug["h_ext"] = h_ext
     h_coeff_dev = domain.extended_to_coeff(h_ext)
     h_coeff = from_limbs(np.asarray(h_coeff_dev), FR, mont=True)
     num_pieces = domain.quotient_poly_degree
@@ -395,6 +538,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     for com in h_coms:
         transcript.write_point(com)
 
+    _mark("quotient")
     x = transcript.squeeze_challenge()
 
     # ---- phase 6: evaluations --------------------------------------------
@@ -481,8 +625,6 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     queries.append(ProverQuery(random_poly, 0))
 
     if debug is not None:
-        debug["terms_ext"] = terms
-        debug["term_names"] = term_names
         debug["ext_helper"] = ext
         debug.update(dict(
             advice=advice, fixed=asn.fixed, inst=inst_padded, lookups=lookups,
@@ -495,6 +637,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
             lookup_z_coeff=lookup_z_coeff, lk_coeffs=lk_coeffs,
         ))
 
+    _mark("evals")
     multiopen_prove(queries, x, domain, srs, transcript)
 
+    _mark("multiopen")
     return transcript.finalize()
