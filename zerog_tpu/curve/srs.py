@@ -137,4 +137,9 @@ class Srs:
         g2 = g2_from_bytes(data[off : off + 128])
         off += 128
         s_g2 = g2_from_bytes(data[off : off + 128])
+        # G2 has cofactor > 1: on-curve alone does not imply r-torsion
+        # membership, so check [r]P = O for both G2 points of a loaded SRS.
+        for pt in (g2, s_g2):
+            if g2_mul(pt, FR.p) is not None:
+                raise ValueError("SRS G2 point not in the r-torsion subgroup")
         return cls(k, g, lag, g2, s_g2)

@@ -13,8 +13,9 @@ Layout in one shared advice column z (plus fixed columns):
     if s == 0:  z_w copy-constrained to constant 0
     if s > 0:   row w+1 holds z_w * 2^(8-s); gate q_shift enforces the shift
                 (multiplier from the fixed column), and q_lookup with
-                q_running=0 checks the shifted value is a byte
-                ( <=> z_w < 2^s ).
+                q_running=0 byte-checks BOTH z_w (row w) and the shifted
+                value (row w+1): z_w < 256 and z_w * 2^(8-s) < 256 together
+                give z_w < 2^s with no field wraparound.
 
   le_constant(x, y): rows [x (copy); y (constant); diff], gate
     q_le * (z_prev + z_next - z_cur) = 0, then range_check(diff, bitlen(y))
@@ -97,13 +98,27 @@ class RangeCheckChip:
         if s:
             asn.enable_selector(cfg.q_shift, rows[w])
             asn.assign_fixed(cfg.shift_mult, rows[w], 1 << (8 - s))
-            asn.enable_selector(cfg.q_lookup, rows[w + 1])
+            # Soundness: byte-check BOTH the terminal limb z_w itself (row w,
+            # where q_running=0 so the looked-up word is z_w directly) and the
+            # shifted value z_w * 2^(8-s) (row w+1). Together these give
+            # z_w < 2^s without field wraparound; checking only the shifted
+            # row would admit any z_w = b * 2^(s-8) mod r. Mirrors
+            # halo2_gadgets' short_range_check, which enables the lookup on
+            # both the word row and the shifted row.
+            asn.enable_selector(cfg.q_lookup, [rows[w], rows[w + 1]])
         else:
             asn.copy(cells[w], asn.constant_cell(0))
 
     def le_constant(self, asn: Assignment, cell, value: int, y: int):
-        """Constrain value <= y (y a public constant; value already known to
-        fit in bitlen(y) bits)."""
+        """Constrain value <= y (y a public constant).
+
+        Self-contained soundness: BOTH value and diff = y - value are
+        range-checked to bitlen(y) bits, so value + diff = y holds over the
+        integers (max sum 2^(b+1) - 2 << r, no wraparound) regardless of any
+        caller-side bound on value. The reference relies on the caller
+        bounding value (src/gadgets/range_check.rs:35-91); we pay ~w+2 extra
+        rows to make the contract explicit in-gadget.
+        """
         cfg = self.config
         start = asn.region([cfg.z, cfg.q_le], 3)
         diff = y - int(value)
@@ -113,4 +128,5 @@ class RangeCheckChip:
         asn.copy(cell, cells[0])
         asn.copy(cells[1], asn.constant_cell(y))
         asn.enable_selector(cfg.q_le, start + 1)
+        self.range_check(asn, cells[0], int(value), y.bit_length())
         self.range_check(asn, cells[2], diff, y.bit_length())

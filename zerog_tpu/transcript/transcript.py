@@ -171,6 +171,10 @@ class Blake2bTranscriptReader(_Blake2bCore):
     def read_point(self):
         x = int.from_bytes(self._take(32), "little")
         y = int.from_bytes(self._take(32), "little")
+        if x >= FQ.p or y >= FQ.p:
+            # reject non-canonical encodings: distinct byte encodings of the
+            # same point would absorb different bytes (proof malleability)
+            raise ValueError("non-canonical point coordinate")
         pt = (x, y) if not (x == 0 and y == 0) else None
         if not g1_is_on_curve(pt):
             raise ValueError("proof point not on curve")
