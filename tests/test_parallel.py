@@ -42,7 +42,7 @@ def test_sharded_msm_matches_host(mesh):
     py_s = jax.device_put(jnp.asarray(py), NamedSharding(mesh, P(AXIS, None)))
     pv_s = jax.device_put(jnp.asarray(pv), NamedSharding(mesh, P(AXIS)))
     sl = jnp.asarray(to_limbs(np.asarray([scalars], dtype=object)))
-    sums = sharded_msm_device(mesh, sl, px_s, py_s, pv_s, c=8)
+    sums = sharded_msm_device(mesh, sl, px_s, py_s, pv_s, c=8, scalar_bits=64)
     # fold windows on host
     from zerog_tpu.curve.pippenger import _fold_windows_host
 

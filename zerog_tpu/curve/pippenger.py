@@ -38,9 +38,9 @@ __all__ = ["msm", "msm_device", "fixed_base_expand"]
 SCALAR_BITS = 254
 
 
-def _digits(scalar_limbs, c: int):
+def _digits(scalar_limbs, c: int, scalar_bits: int = SCALAR_BITS):
     """uint32[..., 16] canonical limbs -> int32[W, ...] window digits."""
-    num_windows = (SCALAR_BITS + c - 1) // c
+    num_windows = (scalar_bits + c - 1) // c
     outs = []
     for w in range(num_windows):
         a = w * c

@@ -47,14 +47,64 @@ def _int_to_limbs_np(x: int) -> np.ndarray:
     return np.array([(x >> (LIMB_BITS * i)) & MASK for i in range(NLIMB)], dtype=np.uint32)
 
 
+def _int_to_limbs8_np(x: int, n: int = 32) -> np.ndarray:
+    return np.array([(x >> (8 * i)) & 0xFF for i in range(n)], dtype=np.uint32)
+
+
+def _use_light() -> bool:
+    """Pick the compile-light field mul when targeting XLA:CPU.
+
+    The fully unrolled 16x16-limb schoolbook mul is the fast formulation on
+    the TPU VPU (elementwise chains fuse), but its HLO is so large that
+    XLA:CPU's LLVM backend takes ~2 s of compile time PER MULTIPLY — a single
+    Jacobian point add costs ~50 s of compile. The light path expresses the
+    limb convolutions as a few uint32 matmuls with constant 0/1 or limb
+    matrices (compile-cheap on CPU, still exact). Semantics are identical.
+    Override with ZEROG_FIELD_LIGHT=0/1.
+    """
+    import os
+
+    forced = os.environ.get("ZEROG_FIELD_LIGHT")
+    if forced is not None:
+        return forced not in ("0", "false", "")
+    import jax as _jax
+
+    return _jax.default_backend() == "cpu"
+
+
+def _normalize_scan(cols, ncols: int, bits: int):
+    """Carry propagation via lax.scan: tiny HLO (compile-light for XLA:CPU,
+    where the unrolled chain costs ~2 ms of LLVM time per op). ~70x slower
+    at runtime on the TPU backend — never use there."""
+    m = cols.shape[-1]
+    if m < ncols:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros(cols.shape[:-1] + (ncols - m,), cols.dtype)], axis=-1
+        )
+    elif m > ncols:
+        cols = cols[..., :ncols]
+    cols_t = jnp.moveaxis(cols, -1, 0)
+    mask = jnp.uint32((1 << bits) - 1)
+
+    def step(carry, c):
+        v = c + carry
+        return v >> bits, v & mask
+
+    carry, out = jax.lax.scan(step, jnp.zeros_like(cols_t[0]), cols_t)
+    return jnp.moveaxis(out, 0, -1), carry
+
+
 def _normalize(cols, ncols: int):
     """Carry-propagate uint32 columns (each < 2^21-ish) into canonical 16-bit
     limbs. Returns (limbs uint32[..., ncols], carry).
 
-    Deliberately UNROLLED: the carry chain becomes a pure elementwise op
-    chain that XLA fuses into a handful of kernels, so arrays never bounce
-    through HBM per limb. (A lax.scan variant compiles faster but defeats
-    fusion and is ~2 orders of magnitude slower at runtime.)"""
+    Deliberately UNROLLED on TPU: the carry chain becomes a pure elementwise
+    op chain that XLA fuses into a handful of kernels, so arrays never bounce
+    through HBM per limb. (The lax.scan variant compiles faster but defeats
+    fusion and is ~2 orders of magnitude slower at runtime — used only on
+    the compile-bound CPU backend.)"""
+    if _use_light():
+        return _normalize_scan(cols, ncols, LIMB_BITS)
     out = []
     carry = jnp.zeros_like(cols[..., 0])
     m = cols.shape[-1]
@@ -93,6 +143,67 @@ def _mul_low(a, b_const):
     return limbs
 
 
+# ---- compile-light path (XLA:CPU): limb convolutions as constant matmuls ----
+N8 = 32  # 8-bit limbs per 256-bit element
+
+
+def _to8(a):
+    """uint32[..., 16] 16-bit limbs -> uint32[..., 32] 8-bit limbs (LE)."""
+    lo = a & 0xFF
+    hi = (a >> 8) & 0xFF
+    return jnp.stack([lo, hi], axis=-1).reshape(a.shape[:-1] + (N8,))
+
+
+def _from8(a8):
+    """Canonical uint32[..., 32] 8-bit limbs -> uint32[..., 16] 16-bit limbs."""
+    pairs = a8.reshape(a8.shape[:-1] + (NLIMB, 2))
+    return pairs[..., 0] | (pairs[..., 1] << 8)
+
+
+def _normalize8(cols, ncols: int):
+    """Carry-propagate uint32 columns (< 2^22) into canonical 8-bit limbs.
+    Only used on the light path, so always scan-based."""
+    return _normalize_scan(cols, ncols, 8)
+
+
+@functools.cache
+def _conv8_matrix():
+    """[N8*N8, 2*N8-1] 0/1 matrix folding an outer product into columns:
+    column k collects products a_i*b_j with i+j == k."""
+    m = np.zeros((N8 * N8, 2 * N8 - 1), dtype=np.uint32)
+    for i in range(N8):
+        for j in range(N8):
+            m[i * N8 + j, i + j] = 1
+    return m
+
+
+def _mul_wide8(a8, b8):
+    """Column sums of the 8-bit-limb schoolbook product, via one outer
+    product + one constant matmul (exact: each column has <= 32 terms
+    < 2^16, so sums stay < 2^21 in uint32 lanes)."""
+    shape = jnp.broadcast_shapes(a8.shape[:-1], b8.shape[:-1])
+    outer = (a8[..., :, None] * b8[..., None, :]).reshape(shape + (N8 * N8,))
+    return outer @ jnp.asarray(_conv8_matrix())  # [..., 63]
+
+
+def _const_low_matrix(c8: np.ndarray):
+    """[N8, N8] matrix M with M[i, k] = c8[k-i]: a8 @ M = column sums of the
+    low half of a * c (mod 2^256)."""
+    m = np.zeros((N8, N8), dtype=np.uint32)
+    for i in range(N8):
+        m[i, i:] = c8[: N8 - i]
+    return m
+
+
+def _const_wide_matrix(c8: np.ndarray):
+    """[N8, 2*N8-1] matrix M with M[i, k] = c8[k-i]: a8 @ M = full-width
+    column sums of a * c."""
+    m = np.zeros((N8, 2 * N8 - 1), dtype=np.uint32)
+    for i in range(N8):
+        m[i, i : i + N8] = c8
+    return m
+
+
 class JField:
     """Device arithmetic for one prime field, in Montgomery form."""
 
@@ -106,6 +217,27 @@ class JField:
         self.r2_limbs = _int_to_limbs_np(params.to_mont(params.r_mont))  # R^2 in "plain" limbs
         self.one_mont = _int_to_limbs_np(params.r_mont)  # 1 in Montgomery form
         self.zero = _int_to_limbs_np(0)
+        self._light_mats = None  # lazy (n_prime low-mul + p wide-mul matrices)
+
+    def _light(self):
+        if self._light_mats is None:
+            n8 = _int_to_limbs8_np((-pow(self.params.p, -1, 1 << 256)) % (1 << 256))
+            p8 = _int_to_limbs8_np(self.params.p)
+            self._light_mats = (_const_low_matrix(n8), _const_wide_matrix(p8))
+        return self._light_mats
+
+    def _mul_light(self, a, b):
+        """Montgomery product via constant matmuls (see _use_light)."""
+        nlow_np, pwide_np = self._light()
+        nlow, pwide = jnp.asarray(nlow_np), jnp.asarray(pwide_np)
+        tcols = _mul_wide8(_to8(a), _to8(b))            # [..., 63]
+        t8, _ = _normalize8(tcols, 2 * N8)              # T canonical, 64 limbs
+        m8, _ = _normalize8(t8[..., :N8] @ nlow, N8)    # m = T_lo * n' mod 2^256
+        scols = jnp.zeros(t8.shape[:-1] + (2 * N8,), jnp.uint32)
+        scols = scols.at[..., : 2 * N8 - 1].set(m8 @ pwide)
+        scols = scols + t8                              # T + m*p < 2^511
+        s8, _ = _normalize8(scols, 2 * N8)
+        return self._cond_sub_p(_from8(s8[..., N8:]))
 
     # -- helpers -----------------------------------------------------------
     def const(self, x: int, mont: bool = True):
@@ -143,6 +275,8 @@ class JField:
 
     def mul(self, a, b):
         """Montgomery product: (a * b * R^{-1}) mod p."""
+        if _use_light():
+            return self._mul_light(a, b)
         t = _mul_wide(a, b)
         m = _mul_low(t[..., :NLIMB], self.n_prime)
         mp = _mul_wide(m, self.p_limbs)

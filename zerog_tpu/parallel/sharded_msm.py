@@ -8,6 +8,12 @@ log-depth unified point addition. The result is replicated.
 This mirrors SURVEY.md §2b: "points partitioned across chips, bucket sums
 reduced with collectives" — the reduction op is the elliptic group law, so
 the collective is all_gather + on-device fold rather than psum.
+
+Compile structure: ONE window program is compiled per (mesh, c) and reused
+for every window of every MSM (a host loop dispatches windows). This keeps
+each compiled program small — essential on XLA:CPU where limb-arithmetic
+compiles are expensive, and it matches the chunked-launch discipline the
+axon TPU worker needs anyway.
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..curve.jpoints import jac_add, jac_select
+from ..curve.jpoints import jac_add, jac_roll, jac_select
 from ..curve.pippenger import _digits, _one_window
 from .mesh import AXIS
 
@@ -27,44 +33,73 @@ __all__ = ["sharded_msm_device"]
 
 
 def _fold_points(points, m: int):
-    """Log-depth fold of a leading axis of m Jacobian points."""
-    while m > 1:
-        half = (m + 1) // 2
-        lo = tuple(c[:half] for c in points)
-        hi = tuple(c[half : 2 * half] for c in points)
-        if hi[0].shape[0] < half:
-            pad = half - hi[0].shape[0]
-            hi = tuple(
-                jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], axis=0)
-                for c in hi
-            )
-        points = jac_add(lo, hi)
-        m = half
+    """Log-depth fold of a leading axis of m Jacobian points via a scan with
+    a fixed shape: one jac_add compile regardless of m."""
+    if m == 1:
+        return points
+    full = 1 << (m - 1).bit_length()
+    if points[0].shape[0] < full:
+        pad = full - points[0].shape[0]
+        points = tuple(
+            jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], axis=0)
+            for c in points
+        )
+    idx = jnp.arange(full)
+    shifts = jnp.asarray([full >> (s + 1) for s in range(full.bit_length() - 1)],
+                         dtype=jnp.int32)
+
+    def step(carry, shift):
+        rolled = jac_roll(carry, -shift)
+        added = jac_add(carry, rolled)
+        return jac_select(idx < shift, added, carry), None
+
+    points, _ = jax.lax.scan(step, points, shifts)
     return points
 
 
-def sharded_msm_device(mesh, scalar_limbs, px, py, pvalid, c: int):
-    """scalar_limbs: uint32[B, N, 16]; points [N, 16]; N divisible by mesh
-    size. Returns replicated Jacobian window sums, components [B, W, 16]."""
+_window_programs: dict = {}
 
-    def local(sl, x, y, v):
-        digits = _digits(sl, c)  # [W, B, Nlocal]
 
-        def window_body(_, d_w):
-            res = jax.vmap(lambda d: _one_window(d, x, y, v, c))(d_w)
-            return None, res
+def _window_program(mesh, c: int):
+    """Compiled one-window kernel: per-shard bucket sums + all_gather + fold."""
+    key = (mesh, c)
+    prog = _window_programs.get(key)
+    if prog is not None:
+        return prog
+    n_dev = mesh.devices.size
 
-        _, sums = jax.lax.scan(window_body, None, digits)  # [W, B, 16] comps
-        # gather partial window sums from all shards: [D, W, B, 16]
-        gathered = jax.lax.all_gather(sums, AXIS)
-        folded = _fold_points(gathered, gathered[0].shape[0])
-        folded = tuple(comp[0] for comp in folded)  # [W, B, 16]
-        return tuple(jnp.swapaxes(comp, 0, 1) for comp in folded)  # [B, W, 16]
+    def local(d_w, x, y, v):
+        # d_w: int32[B, Nlocal]; one window's digits for the local point shard
+        sums = jax.vmap(lambda d: _one_window(d, x, y, v, c))(d_w)  # [B, 16] comps
+        gathered = jax.lax.all_gather(sums, AXIS)  # [D, B, 16]
+        folded = _fold_points(gathered, n_dev)
+        return tuple(comp[0] for comp in folded)  # [B, 16]
 
-    fn = shard_map(
+    prog = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS)),
-        out_specs=(P(None), P(None), P(None)),
+        in_specs=(P(None, AXIS), P(AXIS, None), P(AXIS, None), P(AXIS)),
+        out_specs=(P(None),) * 3,
         check_rep=False,
+    ))
+    _window_programs[key] = prog
+    return prog
+
+
+def sharded_msm_device(mesh, scalar_limbs, px, py, pvalid, c: int,
+                       scalar_bits: int = 254):
+    """scalar_limbs: uint32[B, N, 16]; points [N, 16] sharded over the mesh
+    axis; N divisible by mesh size. Returns replicated Jacobian window sums,
+    components [B, W, 16] (W = ceil(scalar_bits / c)).
+
+    Windows are dispatched as a host loop over one compiled program (reused
+    across windows and calls); pass `scalar_bits` to bound the number of
+    windows when the scalars are known to be small.
+    """
+    digits = jax.jit(_digits, static_argnames=("c", "scalar_bits"))(
+        scalar_limbs, c=c, scalar_bits=scalar_bits
+    )  # [W, B, N]
+    prog = _window_program(mesh, c)
+    sums = [prog(digits[i], px, py, pvalid) for i in range(digits.shape[0])]
+    return tuple(
+        jnp.stack([s[comp] for s in sums], axis=1) for comp in range(3)
     )
-    return fn(scalar_limbs, px, py, pvalid)
