@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from ..field import jfq, to_limbs, from_limbs, FQ
 
 __all__ = [
-    "jac_from_affine", "jac_add", "jac_double", "jac_infinity",
-    "points_to_device", "points_from_device", "jac_select", "jac_roll",
+    "jac_from_affine", "jac_add", "jac_add_incomplete", "jac_double",
+    "jac_infinity", "points_to_device", "points_from_device", "jac_select",
+    "jac_roll",
 ]
 
 _f = jfq()
@@ -99,6 +100,40 @@ def jac_add(p, q):
     res = jac_select(h_zero & r_zero & ~p_inf & ~q_inf, jac_double(p), res)
     res = jac_select(p_inf, q, res)
     res = jac_select(q_inf, p, res)
+    return res
+
+
+def jac_add_incomplete(p, q):
+    """Jacobian addition handling identity lanes but NOT the doubling case
+    (12M + 4S vs the unified add's ~26 mul-ops).
+
+    Contract: if p == q (both non-infinity) the result is silently the
+    identity (h = r = 0 makes every output coordinate 0). Safe wherever the
+    two operands are sums of disjoint subsets of distinct points with
+    random-ish scalars — the MSM bucket pipeline — where a collision has
+    probability ~2^-254 and would only corrupt the proof being built (the
+    verifier rejects it), never soundness.
+    """
+    f = _f
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = f.square(z1)
+    z2z2 = f.square(z2)
+    u1 = f.mul(x1, z2z2)
+    u2 = f.mul(x2, z1z1)
+    s1 = f.mul(y1, f.mul(z2, z2z2))
+    s2 = f.mul(y2, f.mul(z1, z1z1))
+    h = f.sub(u2, u1)
+    r = f.sub(s2, s1)
+    hh = f.square(h)
+    hhh = f.mul(h, hh)
+    v = f.mul(u1, hh)
+    x3 = f.sub(f.sub(f.square(r), hhh), f.add(v, v))
+    y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(s1, hhh))
+    z3 = f.mul(f.mul(z1, z2), h)
+    res = (x3, y3, z3)
+    res = jac_select(f.is_zero(z1), q, res)
+    res = jac_select(f.is_zero(z2), p, res)
     return res
 
 

@@ -1,21 +1,21 @@
 """Pippenger multi-scalar multiplication on TPU.
 
 Replaces the MSM inside `halo2_proofs::poly::commitment` (every commitment in
-keygen/create_proof; SURVEY.md §2b "G1 group ops + Pippenger MSM"). The
-formulation is chosen for TPU's execution model — no data-dependent control
-flow, everything a static-shape vector op:
+keygen/create_proof; SURVEY.md §2b "G1 group ops + Pippenger MSM"). Three
+strategies, all static-shape / branch-free for XLA:
 
-1. windowed digit extraction straight from scalar limbs;
-2. per window: sort point indices by digit (XLA sort), then a *segmented
-   Hillis-Steele scan* — log2(N) masked vectorized point-additions — to sum
-   runs of equal digits (the group is abelian, so bucket accumulation is a
-   segment reduction);
-3. scatter segment totals into the bucket array, then compute
-   sum_b b * B_b with two suffix-scan passes (log-depth, vectorized);
-4. window results are folded on the host (W tiny).
-
-All sequential structure lives in `lax.scan` bodies so the unified Jacobian
-add is compiled once per scan, keeping the HLO small.
+- "pippenger" (default): bucketed column-scan Pippenger — sort by window
+  digit, elementwise flush-scan bucket accumulation, marginal-split weighted
+  sum. Fastest; uses the INCOMPLETE Jacobian add, so it requires
+  pairwise-distinct, random-looking base points (SRS tau powers qualify: an
+  internal add collision has probability ~2^-254 and would only corrupt the
+  proof being built, which the verifier then rejects). Do NOT use it on
+  structured point sets (e.g. small multiples of G, adversarial
+  proof-supplied points) — partial sums can collide with a base point and
+  silently drop to infinity; use "danaa" there.
+- "danaa": lane-parallel double-and-add with the unified (complete) add.
+  Correct for arbitrary points; ~2x slower at 2^14.
+- "scan": legacy per-window segmented-scan pipeline (complete add).
 """
 
 from __future__ import annotations
@@ -26,14 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field import FR, to_limbs
+from ..field import FR, FQ, to_limbs
 from .jpoints import (
-    jac_add, jac_double, jac_select, jac_from_affine, jac_infinity, jac_roll,
-    points_from_device, points_to_device,
+    jac_add, jac_add_incomplete, jac_double, jac_select, jac_from_affine,
+    jac_infinity, jac_roll, points_from_device, points_to_device,
 )
-from .bn254 import g1_add, g1_double
+from .bn254 import G1_GEN, g1_add, g1_double, g1_mul
 
-__all__ = ["msm", "msm_device", "fixed_base_expand"]
+__all__ = ["msm", "msm_device", "msm_pippenger_host", "fixed_base_expand"]
 
 SCALAR_BITS = 254
 
@@ -129,11 +129,331 @@ def msm_device(scalar_limbs, px, py, pvalid, c: int):
     )
 
 
-def _fold_windows_host(window_points, c: int):
-    """Horner fold of window sums (host; W is tiny)."""
+# ---- bucketed Pippenger (default strategy) ---------------------------------
+#
+# Measured cost model on the axon v5e:
+#   - program compile: ~2.7 s per field mul in the program body, per process;
+#   - pure ELEMENTWISE lax.scan bodies run at ~160-250 M field-muls/s (the
+#     whole body fuses; the carry stays on chip);
+#   - any per-step cross-lane movement (roll/gather) drops throughput ~5x,
+#     and large fused programs can crash the worker.
+#
+# Bucket accumulation is therefore formulated with NO cross-lane ops in the
+# hot loop: sort each (window, scalar-row) digit lane ONCE, lay the sorted
+# points out column-major [R rows x C columns], and scan DOWN the rows with a
+# danaa-style elementwise body: each step adds one point row into a per-column
+# carry, flushing the carry to the output when a new digit run starts. A run
+# of equal digits is contiguous in column-major order, so a bucket's total is
+# split across at most ceil(run/R)+1 flushed "pieces". When every nonzero
+# run fits in one column (max_run <= R, the random-scalar case) the pieces
+# scatter directly into [G, 2, 2^c] bucket slots; otherwise ONE compaction
+# round (stable-sort pieces by bucket, rerun the same flush scan) reduces any
+# distribution — witness columns are full of repeated values — to <= C
+# pieces per bucket, which the second round's columns always absorb.
+#
+# Windows are BALANCED (sizes floor/ceil of 254/W) so no window has a tiny
+# bit-range whose digit multiplicity would blow up max_run structurally.
+#
+# The weighted sum  sum_b b*B_b  uses the marginal split b = hi*2^lo + lo:
+#     sum_b b*B_b = 2^lo * sum_hi hi*R_hi + sum_lo lo*C_lo,
+# with R/C marginals from two more elementwise reduce scans and the two
+# small weighted sums from one final scan. Total device work is about
+# (N + 2*P*2^c) point-adds per (window x batch) row at the fused rate.
+#
+# Incomplete adds (12M+4S) are safe everywhere EXCEPT the weighted scan's
+# outer accumulator, which sees structurally equal operands when marginals
+# are empty — that accumulator is biased by a fixed known point K
+# (subtracted on the host), which breaks the structural equality; remaining
+# collisions have probability ~2^-254 and only corrupt the proof being
+# built. Base points must be pairwise distinct (true for SRS powers).
+
+_PIP_R = 128       # rows per column in the accumulation scan
+_PIP_CHUNK = 64    # accumulation scan steps per device launch
+
+
+def _window_layout(c: int, total_bits: int = SCALAR_BITS):
+    """Balanced window sizes/offsets: W = ceil(bits/c) windows of width
+    floor(bits/W) or floor(bits/W)+1 covering exactly `total_bits`."""
+    w = (total_bits + c - 1) // c
+    base = total_bits // w
+    extra = total_bits - base * w
+    sizes = [base + 1] * extra + [base] * (w - extra)
+    offsets = []
+    off = 0
+    for s in sizes:
+        offsets.append(off)
+        off += s
+    return tuple(sizes), tuple(offsets)
+
+
+def _digits_balanced(scalar_limbs, c: int):
+    """uint32[..., 16] canonical limbs -> int32[W, ...] balanced-window digits."""
+    sizes, offsets = _window_layout(c)
+    outs = []
+    for size, off in zip(sizes, offsets):
+        j, r = divmod(off, 16)
+        v = scalar_limbs[..., j] >> r
+        if j + 1 < 16 and r + size > 16:
+            v = v | (scalar_limbs[..., j + 1] << (16 - r))
+        outs.append((v & ((1 << size) - 1)).astype(jnp.int32))
+    return jnp.stack(outs, axis=0)
+
+
+def _colmaj(a, r_rows: int):
+    """[G, M, ...] -> [R, G, C, ...] with flat index = col*R + row."""
+    g, m = a.shape[0], a.shape[1]
+    a2 = a.reshape((g, m // r_rows, r_rows) + a.shape[2:])
+    return jnp.moveaxis(a2, 2, 0)
+
+
+def _stream_info(keys, r_rows: int, nb: int):
+    """Bookkeeping for a grouped key stream [G, M] (equal keys contiguous;
+    key == nb marks dropped entries, grouped at the tail).
+
+    Returns (flags, pb, pr, pbf, prf, max_run): column-major [R, G, C] flush
+    flags, per-flush bucket/rank (pb == nb -> dropped), final-carry
+    bucket/rank, and the longest run with 0 < key < nb."""
+    g, m = keys.shape
+    idx = jnp.arange(m)
+    new_seg = jnp.concatenate(
+        [jnp.ones((g, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
+    )
+    start_flat = jax.lax.cummax(jnp.where(new_seg, idx[None, :], 0), axis=1)
+    run_pos = idx[None, :] - start_flat
+    max_run = jnp.max(jnp.where((keys > 0) & (keys < nb), run_pos, 0)) + 1
+
+    ksc = _colmaj(keys, r_rows)                     # [R, G, C]
+    nsc = _colmaj(new_seg, r_rows)
+    flags = nsc.at[0].set(True)                     # each column: fresh carry
+    cdim = m // r_rows
+    rank = jnp.arange(cdim)[None, None, :] - _colmaj(start_flat // r_rows, r_rows)
+    valid = flags.at[0].set(False)
+    pb = jnp.where(valid, jnp.roll(ksc, 1, axis=0), nb)
+    pr = jnp.where(valid, jnp.roll(rank, 1, axis=0), 0)
+    return flags, pb, pr, ksc[-1], rank[-1], max_run
+
+
+_stream_info_jit = functools.partial(jax.jit, static_argnames=("r_rows", "nb"))(
+    lambda keys, r_rows, nb: _stream_info(keys, r_rows, nb)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "r_rows"))
+def _pipv2_prep(scalar_limbs, px, py, pvalid, c: int, r_rows: int):
+    """Level-1 prep: balanced-window digits, per-lane sort, point gather.
+    Scalars uint32[B, N, 16]; points [N, 16] affine mont + valid [N]."""
+    digits = _digits_balanced(scalar_limbs, c)      # [W, B, N]
+    w, b, n0 = digits.shape
+    g = w * b
+    ds = digits.reshape(g, n0)
+    ds = jnp.where(pvalid[None, :], ds, 0)          # invalid -> bucket 0
+    n = ((n0 + r_rows - 1) // r_rows) * r_rows
+    if n > n0:
+        pad = n - n0
+        ds = jnp.pad(ds, ((0, 0), (0, pad)))
+        pvalid = jnp.pad(pvalid, (0, pad))
+        px = jnp.pad(px, ((0, pad), (0, 0)))
+        py = jnp.pad(py, ((0, pad), (0, 0)))
+    order = jnp.argsort(ds, axis=-1)
+    ds = jnp.take_along_axis(ds, order, axis=-1)
+    sx = _colmaj(px[order], r_rows)                 # [R, G, C, 16]
+    sy = _colmaj(py[order], r_rows)
+    sval = _colmaj(pvalid[order], r_rows)
+    zmont = jnp.asarray(to_limbs(FQ.r_mont))
+    sz = jnp.where(sval[..., None], jnp.broadcast_to(zmont, sx.shape),
+                   jnp.zeros_like(sx))
+    info = _stream_info(ds, r_rows, 1 << c)
+    return (sx, sy, sz) + info
+
+
+@jax.jit
+def _pipv2_chunk(carry, xs):
+    """_PIP_CHUNK flush-scan steps; xs = (x, y, z jac rows, flags)."""
+    def body(carry, xs):
+        x, y, z, flag = xs
+        pt = (x, y, z)
+        flushed = jac_select(flag, carry, (jnp.zeros_like(x),) * 3)
+        carry = jac_select(flag, pt, jac_add_incomplete(carry, pt))
+        return carry, flushed
+
+    return jax.lax.scan(body, carry, xs)
+
+
+def _flush_scan(stream, flags):
+    """Run the chunked flush scan over jac stream [R, G, C]; returns pieces
+    [R+1, G, C] (row r = piece flushed at step r; row R = final carry)."""
+    r_total = flags.shape[0]
+    g, cdim = flags.shape[1], flags.shape[2]
+    carry = jac_infinity((g, cdim))
+    step = min(_PIP_CHUNK, r_total)
+    chunks = []
+    for i in range(0, r_total, step):
+        carry, flushed = _pipv2_chunk(
+            carry, tuple(a[i:i + step] for a in stream) + (flags[i:i + step],)
+        )
+        chunks.append(flushed)
+    return tuple(
+        jnp.concatenate([ch[comp] for ch in chunks] + [carry[comp][None]], axis=0)
+        for comp in range(3)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("r_rows",))
+def _pipv2_compact(pieces, pb_all, r_rows: int):
+    """Stable-sort the flat piece stream so real pieces (pb < nb) lead,
+    grouped by bucket (they already are — stable sort keeps flat order),
+    then re-lay column-major for a second flush scan. Any bucket has at
+    most C pieces, so the second round always fits P = 2."""
+    rp1, g, cdim = pb_all.shape
+    m = rp1 * cdim
+
+    def flat(a):  # [R+1, G, C, ...] -> [G, M, ...] in flat piece order
+        return jnp.moveaxis(a, 0, 2).reshape((g, m) + a.shape[3:])
+
+    keys = flat(pb_all)
+    order = jnp.argsort(keys, axis=-1, stable=True)
+    keys = jnp.take_along_axis(keys, order, axis=-1)
+    stream = tuple(
+        jnp.take_along_axis(flat(comp), order[..., None], axis=1)
+        for comp in pieces
+    )
+    m2 = ((m + r_rows - 1) // r_rows) * r_rows
+    if m2 > m:
+        keys = jnp.pad(keys, ((0, 0), (0, m2 - m)),
+                       constant_values=keys.dtype.type(0))
+        # pad with drop-key entries (infinity points)
+        keys = keys.at[:, m:].set(jnp.iinfo(jnp.int32).max)
+        stream = tuple(jnp.pad(compp, ((0, 0), (0, m2 - m), (0, 0)))
+                       for compp in stream)
+    return tuple(_colmaj(compp, r_rows) for compp in stream), keys
+
+
+@functools.partial(jax.jit, static_argnames=("p_max", "c"))
+def _pipv2_scatter(pieces, pb, pr, p_max: int, c: int):
+    """Pieces jac [R+1, G, C] -> bucket slots [G, p_max, 2^c]. The three
+    coordinates are packed into one [..., 48] array so a single scatter op
+    runs. Out-of-range rank (only weight-0 bucket 0) and pb >= 2^c drop."""
+    nb = 1 << c
+    g = pb.shape[1]
+    packed = jnp.concatenate(pieces, axis=-1)       # [R+1, G, C, 48]
+    garr = jnp.arange(g)[None, :, None]
+    out = (jnp.zeros((g, p_max, nb, 48), jnp.uint32)
+           .at[garr, pr, pb].set(packed, mode="drop"))
+    return out[..., :16], out[..., 16:32], out[..., 32:]
+
+
+@jax.jit
+def _pipv2_sum_rows(xs):
+    """Fold [L, G, W] jac rows into [G, W] (elementwise accumulate scan)."""
+    init = jac_infinity(xs[0].shape[1:3])
+
+    def body(carry, row):
+        return jac_add_incomplete(carry, row), None
+
+    out, _ = jax.lax.scan(body, init, xs)
+    return out
+
+
+@jax.jit
+def _pipv2_weighted(stacked, bias):
+    """stacked: jac [K, G, 2] rows ordered k = K-1 .. 0. Computes
+    bias + sum_k k * row_k via (acc2 += acc1; acc1 += row)."""
+    acc1 = jac_infinity(stacked[0].shape[1:3])
+    acc2 = tuple(jnp.broadcast_to(b, a.shape) for b, a in zip(bias, acc1))
+
+    def body(carry, row):
+        a1, a2 = carry
+        a2 = jac_add_incomplete(a2, a1)
+        a1 = jac_add_incomplete(a1, row)
+        return (a1, a2), None
+
+    (_, acc2), _ = jax.lax.scan(body, (acc1, acc2), stacked)
+    return acc2
+
+
+@functools.cache
+def _pip_bias():
+    """Fixed bias point K (known scalar); the host subtracts it."""
+    k_scalar = 0xB1A5_0FF5_E7D0_1234_5678_9ABC_DEF0_1357
+    pt = g1_mul(G1_GEN, k_scalar)
+    x, y, _ = points_to_device([pt])
+    z = to_limbs(FQ.r_mont)  # Z = 1 in Montgomery form
+    return pt, (jnp.asarray(x[0]), jnp.asarray(y[0]), jnp.asarray(z))
+
+
+def msm_pippenger_host(sl, px, py, pvalid, c: int):
+    """Column-scan Pippenger. sl: uint32[B, N, 16] canonical scalar limbs;
+    points on device. Returns [B] affine host points."""
+    b = int(sl.shape[0])
+    n0 = int(px.shape[0])
+    # r_rows >= sqrt(n) so that level-2 runs (<= C = n/r_rows pieces per
+    # bucket) always fit one level-2 column; capped below by _PIP_R.
+    r_rows = min(1 << max(1, (n0 - 1).bit_length()),
+                 max(_PIP_R, 1 << ((n0 - 1).bit_length() + 1) // 2))
+    nb = 1 << c
+    sx, sy, sz, flags, pb, pr, pbf, prf, max_run = _pipv2_prep(
+        sl, px, py, pvalid, c=c, r_rows=r_rows
+    )
+    pieces = _flush_scan((sx, sy, sz), flags)
+    pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
+    pr_all = jnp.concatenate([pr, prf[None]], axis=0)
+    if int(max_run) > r_rows:
+        # skewed digit distribution (common for witness columns): compact
+        # pieces by bucket and rerun the flush scan — bounds pieces <= C
+        stream2, keys2 = _pipv2_compact(pieces, pb_all, r_rows)
+        flags, pb, pr, pbf, prf, _ = _stream_info_jit(keys2, r_rows, nb)
+        pieces = _flush_scan(stream2, flags)
+        pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
+        pr_all = jnp.concatenate([pr, prf[None]], axis=0)
+    buckets = _pipv2_scatter(pieces, pb_all, pr_all, p_max=2, c=c)
+
+    g = int(pb_all.shape[1])
+    lo_bits = c // 2
+    hi_n, lo_n = 1 << (c - lo_bits), 1 << lo_bits
+    r_hi = _pipv2_sum_rows(tuple(
+        jnp.moveaxis(comp.reshape(g, 2, hi_n, lo_n, 16), (1, 3), (0, 1))
+        .reshape(2 * lo_n, g, hi_n, 16)
+        for comp in buckets
+    ))
+    c_lo = _pipv2_sum_rows(tuple(
+        jnp.moveaxis(comp.reshape(g, 2, hi_n, lo_n, 16), (1, 2), (0, 1))
+        .reshape(2 * hi_n, g, lo_n, 16)
+        for comp in buckets
+    ))
+
+    bias_pt, bias_dev = _pip_bias()
+    stacked = tuple(
+        jnp.moveaxis(
+            jnp.flip(jnp.stack(
+                [rh, jnp.pad(cl, ((0, 0), (0, hi_n - lo_n), (0, 0)))], axis=2
+            ), axis=1), 1, 0)                       # [K, G, 2, 16]
+        for rh, cl in zip(r_hi, c_lo)
+    )
+    acc2 = _pipv2_weighted(stacked, bias_dev)
+
+    host = points_from_device(tuple(comp.reshape(g * 2, 16) for comp in acc2))
+    neg_k = (bias_pt[0], (-bias_pt[1]) % FQ.p)
+    sizes, _ = _window_layout(c)
+    results = []
+    w = g // b
+    for bi in range(b):
+        window_sums = []
+        for wi in range(w):
+            gi = wi * b + bi
+            w_hi = g1_add(host[2 * gi], neg_k)
+            w_lo = g1_add(host[2 * gi + 1], neg_k)
+            window_sums.append(g1_add(g1_mul(w_hi, 1 << lo_bits), w_lo))
+        results.append(_fold_windows_host(window_sums, sizes))
+    return results
+
+
+def _fold_windows_host(window_points, c):
+    """Horner fold of window sums (host; W is tiny). `c` is either a uniform
+    window width or a per-window width sequence (LSB window first)."""
+    sizes = [c] * len(window_points) if isinstance(c, int) else list(c)
     acc = None
-    for pt in reversed(window_points):
-        for _ in range(c):
+    for pt, size in zip(reversed(window_points), reversed(sizes)):
+        for _ in range(size):
             acc = g1_double(acc) if acc is not None else None
         acc = g1_add(acc, pt)
     return acc
@@ -198,7 +518,7 @@ def _msm_danaa_device(bits, px, py, pvalid):
     return _reduce_lanes(acc)
 
 
-def msm(scalars, points_dev, c: int | None = None, strategy: str = "danaa"):
+def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
     """Host-facing MSM.
 
     scalars: 2D list/array [B][N] of ints in [0, r) (or 1D for B=1);
@@ -221,6 +541,14 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "danaa"):
         scalars = list(scalars) + [[0] * len(scalars[0])] * (b_pad - b_real)
     sl = to_limbs(np.asarray(scalars, dtype=object) % FR.p)
 
+    if c is None:
+        c = max(4, min(10, int(n).bit_length() - 4))
+    if strategy == "pippenger":
+        results = msm_pippenger_host(jnp.asarray(sl), jnp.asarray(px),
+                                     jnp.asarray(py), jnp.asarray(pvalid), c)
+        results = results[:b_real]
+        return results[0] if single else results
+
     if strategy == "danaa":
         bits = _bits_device(jnp.asarray(sl))
         acc = _msm_danaa_device(bits, px, py, jnp.asarray(pvalid))
@@ -228,8 +556,7 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "danaa"):
         results = points_from_device(acc)
         return results[0] if single else results
 
-    if c is None:
-        c = max(1, min(15, n.bit_length() - 2))
+    # "scan": the legacy per-window segmented-scan pipeline
     sums = msm_device(jnp.asarray(sl), px, py, jnp.asarray(pvalid), c)
     sums = tuple(comp[:b_real] for comp in sums)
     b = b_real

@@ -104,17 +104,34 @@ class Srs:
         out = self._msm_chunked(padded, self.g_dev())
         return out[0] if single else out
 
-    # ---- serialization (k:u32 LE || g || g_lagrange || g2 || s_g2) -------
-    def write(self, path):
+    # ---- serialization ----------------------------------------------------
+    # Two on-disk formats, both `k:u32 LE || g[n] || g_lagrange[n] || g2 ||
+    # s_g2` with 64-byte G1 / 128-byte G2 points:
+    #
+    # - "native":  MAGIC-prefixed, coordinates canonical little-endian
+    #   (`FQ.to_bytes`).
+    # - "halo2":   halo2's `ParamsKZG::write` with `SerdeFormat::RawBytes`
+    #   (reference src/io.rs:139-146): NO magic, each Fq coordinate is the
+    #   internal *Montgomery form* (value * 2^256 mod q) as 4 u64 limbs
+    #   little-endian, G2 Fq2 as c0 || c1. Files produced by the reference
+    #   CLI's generate-srs load directly; files written here load in halo2.
+    #
+    # `read` autodetects (the magic cannot collide with a u32 k).
+    def write(self, path, fmt: str = "native"):
+        if fmt not in ("native", "halo2"):
+            raise ValueError(f"unknown SRS format {fmt!r}")
+        g1b = g1_to_bytes if fmt == "native" else _g1_to_halo2
+        g2b = g2_to_bytes if fmt == "native" else _g2_to_halo2
         with open(path, "wb") as f:
-            f.write(_MAGIC)
+            if fmt == "native":
+                f.write(_MAGIC)
             f.write(struct.pack("<I", self.k))
             for pt in self.g:
-                f.write(g1_to_bytes(pt))
+                f.write(g1b(pt))
             for pt in self.g_lagrange:
-                f.write(g1_to_bytes(pt))
-            f.write(g2_to_bytes(self.g2))
-            f.write(g2_to_bytes(self.s_g2))
+                f.write(g1b(pt))
+            f.write(g2b(self.g2))
+            f.write(g2b(self.s_g2))
 
     @classmethod
     def read(cls, path):
@@ -123,23 +140,86 @@ class Srs:
         off = 0
         if data[:8] == _MAGIC:
             off = 8
+            g1r, g2r = g1_from_bytes, g2_from_bytes
+        else:
+            g1r, g2r = _g1_from_halo2, _g2_from_halo2
         (k,) = struct.unpack_from("<I", data, off)
         off += 4
         n = 1 << k
+        expected = off + 2 * n * 64 + 2 * 128
+        if len(data) != expected:
+            raise ValueError(
+                f"SRS file length {len(data)} != expected {expected} for k={k}")
         g = []
         for _ in range(n):
-            g.append(g1_from_bytes(data[off : off + 64]))
+            g.append(g1r(data[off : off + 64]))
             off += 64
         lag = []
         for _ in range(n):
-            lag.append(g1_from_bytes(data[off : off + 64]))
+            lag.append(g1r(data[off : off + 64]))
             off += 64
-        g2 = g2_from_bytes(data[off : off + 128])
+        g2 = g2r(data[off : off + 128])
         off += 128
-        s_g2 = g2_from_bytes(data[off : off + 128])
+        s_g2 = g2r(data[off : off + 128])
         # G2 has cofactor > 1: on-curve alone does not imply r-torsion
         # membership, so check [r]P = O for both G2 points of a loaded SRS.
         for pt in (g2, s_g2):
             if g2_mul(pt, FR.p) is not None:
                 raise ValueError("SRS G2 point not in the r-torsion subgroup")
         return cls(k, g, lag, g2, s_g2)
+
+
+# ---- halo2 RawBytes coordinate codec ----------------------------------------
+
+_R_MONT = 1 << 256
+
+
+def _fq_to_halo2(v: int) -> bytes:
+    from ..field import FQ
+
+    return (v * _R_MONT % FQ.p).to_bytes(32, "little")
+
+
+def _fq_from_halo2(b: bytes) -> int:
+    from ..field import FQ
+
+    raw = int.from_bytes(b, "little")
+    if raw >= FQ.p:
+        raise ValueError("non-canonical halo2 field element")
+    return raw * pow(_R_MONT, -1, FQ.p) % FQ.p
+
+
+def _g1_to_halo2(pt) -> bytes:
+    x, y = pt if pt is not None else (0, 0)
+    return _fq_to_halo2(x) + _fq_to_halo2(y)
+
+
+def _g1_from_halo2(b: bytes):
+    x = _fq_from_halo2(b[:32])
+    y = _fq_from_halo2(b[32:64])
+    if x == 0 and y == 0:
+        return None
+    pt = (x, y)
+    from .bn254 import g1_is_on_curve
+
+    if not g1_is_on_curve(pt):
+        raise ValueError("halo2 SRS point not on curve")
+    return pt
+
+
+def _g2_to_halo2(pt) -> bytes:
+    (x0, x1), (y0, y1) = pt if pt is not None else ((0, 0), (0, 0))
+    return b"".join(_fq_to_halo2(c) for c in (x0, x1, y0, y1))
+
+
+def _g2_from_halo2(b: bytes):
+    from .bn254 import g2_is_on_curve
+
+    x = (_fq_from_halo2(b[:32]), _fq_from_halo2(b[32:64]))
+    y = (_fq_from_halo2(b[64:96]), _fq_from_halo2(b[96:128]))
+    if x == (0, 0) and y == (0, 0):
+        return None
+    pt = (x, y)
+    if not g2_is_on_curve(pt):
+        raise ValueError("halo2 SRS G2 point not on curve")
+    return pt
