@@ -1,0 +1,557 @@
+"""EVM verifier codegen: compile a VerifyingKey into contract bytecode.
+
+Counterpart of the reference's `gen_evm_verifier`
+(`/root/reference/src/eth.rs:68-106`), which runs snark-verifier's
+`system::halo2::compile` + `EvmLoader` + Yul. Here the verifier program is
+emitted directly as EVM assembly (see `evm_asm.py`): a straight-line
+mulmod/addmod register machine over memory slots, EC precompile calls
+(0x06/0x07/0x08), one modexp (0x05) for batch inversion, and keccak-based
+Fiat-Shamir that replays `transcript.KeccakTranscriptWriter` byte-for-byte.
+
+The generated contract takes raw calldata `instances || proof` (same
+convention as snark-verifier's `encode_calldata`), REVERTs on any invalid
+proof, and returns empty data on success.
+
+Layout decisions mirror `plonk/verifier.py` exactly — read order, challenge
+schedule, query order, GWC group order — so a proof produced by
+`plonk/prover.py` with the Keccak transcript verifies unmodified.
+"""
+
+from __future__ import annotations
+
+from ..field import FR, FQ
+from ..poly.domain import Domain
+from ..plonk.expression import evaluate
+from ..plonk.gwc import VerifierQuery, _group_rotations
+from .evm_asm import Asm, deployment_code
+
+__all__ = ["gen_evm_verifier", "encode_calldata"]
+
+P = FR.p
+Q = FQ.p
+
+# memory map
+SCRATCH = 0x000          # ec/modexp staging (up to 0x180)
+PAIR = 0x180             # pairing input (384 bytes)
+DIG = 0x300              # transcript digest
+KBUF = 0x320             # transcript hash buffer (variable length)
+
+
+def encode_calldata(instances, proof: bytes) -> bytes:
+    """snark-verifier convention: instance scalars (32B BE each) ++ proof."""
+    out = bytearray()
+    for col in instances:
+        for v in col:
+            out += (int(v) % P).to_bytes(32, "big")
+    out += proof
+    return bytes(out)
+
+
+class _B:
+    """Emits mulmod/addmod register code over memory slots.
+
+    A value source is ("const", int) | ("cd", calldata_off) | ("mem", slot).
+    """
+
+    def __init__(self, asm: Asm, slot_base: int):
+        self.a = asm
+        self.next = slot_base
+
+    def alloc(self, n: int = 1) -> int:
+        off = self.next
+        self.next += 32 * n
+        return off
+
+    def load(self, src):
+        kind, v = src
+        if kind == "const":
+            self.a.push(v % P)
+        elif kind == "cd":
+            self.a.push(v).op("CALLDATALOAD")
+        elif kind == "mem":
+            self.a.push(v).op("MLOAD")
+        else:
+            raise ValueError(kind)
+
+    def store(self, slot: int):
+        """Pops the stack top into a memory slot."""
+        self.a.push(slot).op("MSTORE")
+
+    def _bin(self, opname: str, x, y):
+        if x[0] == "const" and y[0] == "const":
+            v = (x[1] + y[1]) % P if opname == "ADDMOD" else (x[1] * y[1]) % P
+            return ("const", v)
+        self.a.push(P)
+        self.load(y)
+        self.load(x)
+        self.a.op(opname)
+        slot = self.alloc()
+        self.store(slot)
+        return ("mem", slot)
+
+    def addmod(self, x, y):
+        return self._bin("ADDMOD", x, y)
+
+    def mulmod(self, x, y):
+        return self._bin("MULMOD", x, y)
+
+    def submod(self, x, y):
+        if y[0] == "const":
+            return self.addmod(x, ("const", (-y[1]) % P))
+        return self.addmod(x, self.mulmod(y, ("const", P - 1)))
+
+
+def _load_point(b: _B, pt_src, dst: int):
+    """Write a point (x, y) into memory at dst (64 bytes)."""
+    kind, v = pt_src
+    a = b.a
+    if kind == "cdpt":
+        a.push(64).push(v).push(dst).op("CALLDATACOPY")
+    elif kind == "kpt":
+        x, y = v if v is not None else (0, 0)
+        a.push(x).push(dst).op("MSTORE")
+        a.push(y).push(dst + 32).op("MSTORE")
+    elif kind == "mempt":
+        if v != dst:
+            a.push(v).op("MLOAD").push(dst).op("MSTORE")
+            a.push(v + 32).op("MLOAD").push(dst + 32).op("MSTORE")
+    else:
+        raise ValueError(kind)
+
+
+def _staticcall(a: Asm, addr: int, in_off: int, in_size: int, out_off: int,
+                out_size: int):
+    a.push(out_size).push(out_off).push(in_size).push(in_off)
+    a.push(addr).op("GAS", "STATICCALL")
+    a.op("ISZERO").jumpi("fail")
+
+
+def _ec_mul(b: _B, pt_src, scalar_src) -> tuple:
+    _load_point(b, pt_src, SCRATCH)
+    b.load(scalar_src)
+    b.a.push(SCRATCH + 64).op("MSTORE")
+    dst = b.alloc(2)
+    _staticcall(b.a, 7, SCRATCH, 0x60, dst, 0x40)
+    return ("mempt", dst)
+
+
+def _ec_add(b: _B, p_src, q_src) -> tuple:
+    _load_point(b, p_src, SCRATCH)
+    _load_point(b, q_src, SCRATCH + 64)
+    dst = b.alloc(2)
+    _staticcall(b.a, 6, SCRATCH, 0x80, dst, 0x40)
+    return ("mempt", dst)
+
+
+class _ExprOps:
+    """`plonk.expression.evaluate` ops emitting EVM code (value = src)."""
+
+    def __init__(self, b: _B, advice, fixed, instance):
+        self.b = b
+        self._advice = advice      # (col, rot) -> src
+        self._fixed = fixed
+        self._instance = instance
+
+    def constant(self, c):
+        return ("const", c % P)
+
+    def fixed(self, col, rot):
+        return self._fixed[(col, rot)]
+
+    def advice(self, col, rot):
+        return self._advice[(col, rot)]
+
+    def instance(self, col, rot):
+        return self._instance[(col, rot)]
+
+    def add(self, a, b):
+        return self.b.addmod(a, b)
+
+    def mul(self, a, b):
+        return self.b.mulmod(a, b)
+
+    def scale(self, a, s):
+        return self.b.mulmod(a, ("const", s % P))
+
+
+def _emit_validators(a: Asm):
+    """Two stack-convention subroutines:
+    vpoints / vscalars: call with stack [start, end, ret]; returns to ret."""
+    for name, stride in (("vpoints", 64), ("vscalars", 32)):
+        a.label(name)
+        a.label(name + "_loop")
+        if stride == 64:
+            # stack: [off, end, ret]
+            a.op("DUP1", "CALLDATALOAD")                    # x
+            a.op("DUP2").push(32).op("ADD", "CALLDATALOAD")  # y
+            # stack: [y, x, off, end, ret]
+            a.op("DUP2").push(Q).op("GT", "ISZERO").jumpi("fail")   # x < q
+            a.op("DUP1").push(Q).op("GT", "ISZERO").jumpi("fail")   # y < q
+            # rhs = x^3 + 3 mod q
+            a.push(Q).op("DUP3", "DUP1", "MULMOD")           # x^2
+            a.push(Q).op("SWAP1", "DUP4", "MULMOD")          # x^3
+            a.push(Q).op("SWAP1").push(3).op("ADDMOD")       # rhs
+            # lhs = y^2 mod q
+            a.push(Q).op("DUP3", "DUP1", "MULMOD")           # [lhs, rhs, y, x, ...]
+            a.op("EQ")                                       # on-curve?
+            a.op("DUP3", "DUP3", "OR", "ISZERO", "OR")       # or identity
+            a.op("ISZERO").jumpi("fail")
+            a.op("POP", "POP")                               # [off, end, ret]
+        else:
+            a.op("DUP1", "CALLDATALOAD")                     # v
+            a.push(P).op("GT", "ISZERO").jumpi("fail")       # v < r
+        a.push(stride).op("ADD")
+        a.op("DUP2", "DUP2", "LT").jumpi(name + "_loop")
+        a.op("POP", "POP", "JUMP")
+
+
+_vcall_n = [0]
+
+
+def _call_validator(a: Asm, sub: str, start: int, end: int):
+    if end <= start:
+        return
+    ret = f"vret{_vcall_n[0]}"
+    _vcall_n[0] += 1
+    a.push_label(ret).push(end).push(start).jump(sub)
+    a.label(ret)
+
+
+def gen_evm_verifier(vk, srs, num_instance) -> bytes:
+    """Generate deployment bytecode for a verifier contract.
+
+    vk: plonk.keygen.VerifyingKey; srs: curve.srs.Srs (g2/s_g2 used);
+    num_instance: list of instance-column lengths (matches the reference
+    signature; `/root/reference/src/eth.rs:69-73`)."""
+    cs = vk.cs
+    k = vk.k
+    n = 1 << k
+    domain = Domain(k, cs.degree())
+    bf = cs.blinding_factors()
+    u_row = cs.usable_rows(n)
+    num_chunks = cs.num_permutation_chunks() if cs.permutation_columns else 0
+    num_lookups = len(cs.lookups)
+    advice_queries = cs.advice_queries()
+    fixed_queries = cs.fixed_queries()
+    instance_queries = cs.instance_queries()
+
+    # ---- static proof layout (mirrors verifier.py read order) -----------
+    ni_total = sum(num_instance)
+    cd = ni_total * 32          # proof starts here in calldata
+    off = cd
+
+    def take(nbytes):
+        nonlocal off
+        o = off
+        off += nbytes
+        return o
+
+    advice_com_off = [take(64) for _ in range(cs.num_advice)]
+    lookup_perm_off = [(take(64), take(64)) for _ in range(num_lookups)]
+    perm_z_off = [take(64) for _ in range(num_chunks)]
+    lookup_z_off = [take(64) for _ in range(num_lookups)]
+    random_off = take(64)
+    h_off = [take(64) for _ in range(domain.quotient_poly_degree)]
+    evals_start = off
+    adv_eval_off = [take(32) for _ in advice_queries]
+    fix_eval_off = [take(32) for _ in fixed_queries]
+    random_eval_off = take(32)
+    sigma_eval_off = [take(32) for _ in cs.permutation_columns]
+    perm_z_eval_off = [[take(32), take(32), None] for _ in range(num_chunks)]
+    for i in range(num_chunks - 2, -1, -1):
+        perm_z_eval_off[i][2] = take(32)
+    lookup_eval_off = [dict(z=take(32), z_next=take(32), a_perm=take(32),
+                            a_perm_prev=take(32), s_perm=take(32))
+                       for _ in range(num_lookups)]
+    evals_end = off
+
+    # GWC query list — identical order to verifier.py. `commitment`/`eval`
+    # hold *sources* resolved at emit time.
+    queries = []
+    adv_idx = {q: i for i, q in enumerate(advice_queries)}
+    fix_idx = {q: i for i, q in enumerate(fixed_queries)}
+    ins_idx = {q: i for i, q in enumerate(instance_queries)}
+    for qi, (col, rot) in enumerate(advice_queries):
+        queries.append(VerifierQuery(("cdpt", advice_com_off[col]), rot,
+                                     ("cd", adv_eval_off[qi])))
+    for i in range(num_chunks):
+        queries.append(VerifierQuery(("cdpt", perm_z_off[i]), 0,
+                                     ("cd", perm_z_eval_off[i][0])))
+        queries.append(VerifierQuery(("cdpt", perm_z_off[i]), 1,
+                                     ("cd", perm_z_eval_off[i][1])))
+    for i in range(num_chunks - 2, -1, -1):
+        queries.append(VerifierQuery(("cdpt", perm_z_off[i]), -(bf + 1),
+                                     ("cd", perm_z_eval_off[i][2])))
+    for i in range(num_lookups):
+        ev = lookup_eval_off[i]
+        a_off, s_off = lookup_perm_off[i]
+        queries.append(VerifierQuery(("cdpt", lookup_z_off[i]), 0, ("cd", ev["z"])))
+        queries.append(VerifierQuery(("cdpt", a_off), 0, ("cd", ev["a_perm"])))
+        queries.append(VerifierQuery(("cdpt", s_off), 0, ("cd", ev["s_perm"])))
+        queries.append(VerifierQuery(("cdpt", a_off), -1, ("cd", ev["a_perm_prev"])))
+        queries.append(VerifierQuery(("cdpt", lookup_z_off[i]), 1, ("cd", ev["z_next"])))
+    for qi, (col, rot) in enumerate(fixed_queries):
+        queries.append(VerifierQuery(("kpt", vk.fixed_commitments[col]), rot,
+                                     ("cd", fix_eval_off[qi])))
+    for j in range(len(cs.permutation_columns)):
+        queries.append(VerifierQuery(("kpt", vk.permutation_commitments[j]), 0,
+                                     ("cd", sigma_eval_off[j])))
+    queries.append(VerifierQuery("H_COMBINED", 0, "H_EVAL"))
+    queries.append(VerifierQuery(("cdpt", random_off), 0, ("cd", random_eval_off)))
+    groups = _group_rotations(queries)
+    witness_off = [take(64) for _ in groups]
+    proof_end = off
+
+    # ---- emit ------------------------------------------------------------
+    a = Asm()
+    a.jump("main")
+    a.label("fail")
+    a.push(0).push(0).op("REVERT")
+    _emit_validators(a)
+    a.label("main")
+
+    # exact calldata size
+    a.op("CALLDATASIZE").push(proof_end).op("EQ", "ISZERO").jumpi("fail")
+
+    # validation (mirrors KeccakTranscriptReader's canonicality checks)
+    _call_validator(a, "vscalars", 0, cd)                        # instances
+    _call_validator(a, "vpoints", cd, evals_start)               # commitments
+    _call_validator(a, "vscalars", evals_start, evals_end)       # evals
+    _call_validator(a, "vpoints", evals_end, proof_end)          # witnesses
+
+    # KBUF must fit the largest absorb; slots start after it
+    b = _B(a, 0)  # slot base fixed after computing max absorb below
+
+    def challenge_ranges():
+        adv_end = cd + cs.num_advice * 64
+        lp_end = adv_end + num_lookups * 128
+        zrand_end = lp_end + (num_chunks + num_lookups) * 64 + 64
+        h_end = zrand_end + domain.quotient_poly_degree * 64
+        return [
+            ("theta", 0, adv_end),
+            ("beta", adv_end, lp_end),
+            ("gamma", lp_end, lp_end),       # empty: 0x01 domain byte
+            ("y", lp_end, zrand_end),
+            ("x", zrand_end, h_end),
+            ("v", h_end, evals_end),
+            ("u", evals_end, proof_end),
+        ]
+
+    ranges = challenge_ranges()
+    max_absorb = max(e - s for _, s, e in ranges)
+    b.next = KBUF + 32 + max_absorb + 64
+
+    ch_slot = {}
+    first = True
+    for name, s, e in ranges:
+        if first:
+            a.push(vk.transcript_repr).push(KBUF).op("MSTORE")
+            first = False
+        else:
+            a.push(DIG).op("MLOAD").push(KBUF).op("MSTORE")
+        if e > s:
+            a.push(e - s).push(s).push(KBUF + 32).op("CALLDATACOPY")
+            a.push(32 + e - s).push(KBUF).op("KECCAK256")
+        else:
+            a.push(1).push(KBUF + 32).op("MSTORE8")
+            a.push(33).push(KBUF).op("KECCAK256")
+        a.op("DUP1").push(DIG).op("MSTORE")
+        a.push(P).op("SWAP1", "MOD")
+        slot = b.alloc()
+        b.store(slot)
+        ch_slot[name] = ("mem", slot)
+
+    theta, beta, gamma = ch_slot["theta"], ch_slot["beta"], ch_slot["gamma"]
+    y_ch, x_ch = ch_slot["y"], ch_slot["x"]
+    v_ch, u_ch = ch_slot["v"], ch_slot["u"]
+
+    # ---- x^n (k squarings), vanishing = x^n - 1 --------------------------
+    xn = x_ch
+    for _ in range(k):
+        xn = b.mulmod(xn, xn)
+    vanish = b.submod(xn, ("const", 1))
+
+    # ---- batch inversion --------------------------------------------------
+    # denominators: (x - w^i) for i in inst_rows ∪ {0, u_row, u_row+1..n-1},
+    # plus the vanishing value itself.
+    lag_rows = []
+    for col, rot in instance_queries:
+        for i in range(num_instance[col] if col < len(num_instance) else 0):
+            # l_i evaluated at x*w^rot <=> denominator x*w^rot - w^i
+            lag_rows.append((rot, i))
+    special_rows = [0, u_row] + list(range(u_row + 1, n))
+    denoms = []       # list of (src, key)
+    for rot, i in lag_rows:
+        wrot = pow(domain.omega, rot % n, P)
+        d = b.submod(b.mulmod(x_ch, ("const", wrot)) if wrot != 1 else x_ch,
+                     ("const", pow(domain.omega, i, P)))
+        denoms.append((d, ("lag", rot, i)))
+    for i in special_rows:
+        d = b.submod(x_ch, ("const", pow(domain.omega, i, P)))
+        denoms.append((d, ("row", i)))
+    denoms.append((vanish, ("vanish",)))
+
+    # running products
+    prefix = [denoms[0][0]]
+    for d, _ in denoms[1:]:
+        prefix.append(b.mulmod(prefix[-1], d))
+    # inv_total = prefix[-1]^(p-2) mod p via modexp precompile
+    for pos, val in ((SCRATCH, 32), (SCRATCH + 32, 32), (SCRATCH + 64, 32)):
+        a.push(val).push(pos).op("MSTORE")
+    b.load(prefix[-1])
+    a.push(SCRATCH + 96).op("MSTORE")
+    a.push(P - 2).push(SCRATCH + 128).op("MSTORE")
+    a.push(P).push(SCRATCH + 160).op("MSTORE")
+    inv_slot = b.alloc()
+    _staticcall(a, 5, SCRATCH, 0xC0, inv_slot, 0x20)
+    inv_acc = ("mem", inv_slot)
+    inv = {}
+    for i in range(len(denoms) - 1, 0, -1):
+        inv[denoms[i][1]] = b.mulmod(inv_acc, prefix[i - 1])
+        inv_acc = b.mulmod(inv_acc, denoms[i][0])
+    inv[denoms[0][1]] = inv_acc
+
+    n_inv = pow(n, P - 2, P)
+
+    def lagrange(row_key, i, xn_src=xn, vanish_src=vanish):
+        # l_i(x) = w^i/n * (x^n - 1) * inv
+        c = pow(domain.omega, i, P) * n_inv % P
+        return b.mulmod(b.mulmod(("const", c), vanish_src), inv[row_key])
+
+    l0 = lagrange(("row", 0), 0)
+    l_last = lagrange(("row", u_row), u_row)
+    l_blind = ("const", 0)
+    for i in range(u_row + 1, n):
+        l_blind = b.addmod(l_blind, lagrange(("row", i), i))
+    l_active = b.submod(b.submod(("const", 1), l_last), l_blind)
+
+    # ---- instance evaluations ---------------------------------------------
+    instance_eval_src = {}
+    for col, rot in instance_queries:
+        cnt = num_instance[col] if col < len(num_instance) else 0
+        acc = ("const", 0)
+        for i in range(cnt):
+            li = b.mulmod(
+                b.mulmod(("const", pow(domain.omega, i, P) * n_inv % P), vanish),
+                inv[("lag", rot, i)])
+            cd_off = sum(num_instance[:col]) * 32 + i * 32
+            acc = b.addmod(acc, b.mulmod(("cd", cd_off), li))
+        instance_eval_src[(col, rot)] = acc
+
+    # ---- gate terms ---------------------------------------------------------
+    advice_src = {q: ("cd", adv_eval_off[i]) for i, q in enumerate(advice_queries)}
+    fixed_src = {q: ("cd", fix_eval_off[i]) for i, q in enumerate(fixed_queries)}
+    ops = _ExprOps(b, advice_src, fixed_src, instance_eval_src)
+
+    terms = []
+    for _, polys in cs.gates:
+        for poly in polys:
+            terms.append(evaluate(poly, ops))
+
+    def column_eval(col):
+        if col.kind == "advice":
+            return advice_src[(col.index, 0)]
+        if col.kind == "fixed":
+            return fixed_src[(col.index, 0)]
+        return instance_eval_src[(col.index, 0)]
+
+    if cs.permutation_columns:
+        chunk = cs.permutation_chunk_len()
+        pz = [[("cd", o) if o is not None else None for o in offs]
+              for offs in perm_z_eval_off]
+        terms.append(b.mulmod(l0, b.submod(("const", 1), pz[0][0])))
+        zl = pz[-1][0]
+        terms.append(b.mulmod(l_last, b.submod(b.mulmod(zl, zl), zl)))
+        for i in range(1, num_chunks):
+            terms.append(b.mulmod(l0, b.submod(pz[i][0], pz[i - 1][2])))
+        for si, start in enumerate(range(0, len(cs.permutation_columns), chunk)):
+            cols = cs.permutation_columns[start : start + chunk]
+            left = pz[si][1]
+            right = pz[si][0]
+            for j, col in enumerate(cols, start=start):
+                ve = column_eval(col)
+                sig = ("cd", sigma_eval_off[j])
+                left = b.mulmod(left, b.addmod(b.addmod(ve, b.mulmod(beta, sig)), gamma))
+                delta_j = pow(FR.delta, j, P)
+                right = b.mulmod(right, b.addmod(
+                    b.addmod(ve, b.mulmod(b.mulmod(beta, ("const", delta_j)), x_ch)),
+                    gamma))
+            terms.append(b.mulmod(l_active, b.submod(left, right)))
+
+    for li, (_, pairs) in enumerate(cs.lookups):
+        ev = {kk: ("cd", oo) for kk, oo in lookup_eval_off[li].items()}
+        a_comp = ("const", 0)
+        for i_expr, _ in pairs:
+            a_comp = b.addmod(b.mulmod(a_comp, theta), evaluate(i_expr, ops))
+        s_comp = ("const", 0)
+        for _, t_expr in pairs:
+            s_comp = b.addmod(b.mulmod(s_comp, theta), evaluate(t_expr, ops))
+        terms.append(b.mulmod(l0, b.submod(("const", 1), ev["z"])))
+        terms.append(b.mulmod(l_last, b.submod(b.mulmod(ev["z"], ev["z"]), ev["z"])))
+        lhs = b.mulmod(b.mulmod(ev["z_next"], b.addmod(ev["a_perm"], beta)),
+                       b.addmod(ev["s_perm"], gamma))
+        rhs = b.mulmod(b.mulmod(ev["z"], b.addmod(a_comp, beta)),
+                       b.addmod(s_comp, gamma))
+        terms.append(b.mulmod(l_active, b.submod(lhs, rhs)))
+        terms.append(b.mulmod(l0, b.submod(ev["a_perm"], ev["s_perm"])))
+        terms.append(b.mulmod(
+            b.mulmod(l_active, b.submod(ev["a_perm"], ev["s_perm"])),
+            b.submod(ev["a_perm"], ev["a_perm_prev"])))
+
+    folded = ("const", 0)
+    for t in terms:
+        folded = b.addmod(b.mulmod(folded, y_ch), t)
+    h_eval = b.mulmod(folded, inv[("vanish",)])
+
+    # ---- h_combined = sum xn^i H_i (Horner) --------------------------------
+    hc = ("cdpt", h_off[-1])
+    for i in range(len(h_off) - 2, -1, -1):
+        hc = _ec_add(b, _ec_mul(b, hc, xn), ("cdpt", h_off[i]))
+
+    # ---- GWC groups ---------------------------------------------------------
+    g1_gen = ("kpt", (1, 2))
+    left = None   # point accumulating sum u^i W_i
+    right = None
+    for gi, (rot, idxs) in enumerate(groups):
+        # z = x * w^rot
+        wrot = (pow(domain.omega, rot, P) if rot >= 0
+                else pow(domain.omega_inv, -rot, P))
+        z = b.mulmod(x_ch, ("const", wrot)) if wrot != 1 else x_ch
+        c_batch = None
+        e_batch = ("const", 0)
+        for i in idxs:
+            qq = queries[i]
+            com = hc if qq.commitment == "H_COMBINED" else qq.commitment
+            ev = h_eval if qq.eval == "H_EVAL" else qq.eval
+            if c_batch is None:
+                c_batch = com
+            else:
+                c_batch = _ec_add(b, _ec_mul(b, c_batch, v_ch), com)
+            e_batch = b.addmod(b.mulmod(e_batch, v_ch), ev)
+        w_src = ("cdpt", witness_off[gi])
+        # term = z*W + C - e*G
+        neg_e = b.submod(("const", 0), e_batch)
+        term = _ec_add(b, _ec_mul(b, w_src, z),
+                       _ec_add(b, c_batch, _ec_mul(b, g1_gen, neg_e)))
+        left = w_src if left is None else _ec_add(b, _ec_mul(b, left, u_ch), w_src)
+        right = term if right is None else _ec_add(b, _ec_mul(b, right, u_ch), term)
+
+    # ---- pairing: e(L, s_g2) * e(-R, g2) == 1 ------------------------------
+    _load_point(b, left, PAIR)
+    (sx_re, sx_im), (sy_re, sy_im) = srs.s_g2
+    for val, at in ((sx_im, 64), (sx_re, 96), (sy_im, 128), (sy_re, 160)):
+        a.push(val).push(PAIR + at).op("MSTORE")
+    _load_point(b, right, PAIR + 192)
+    # negate R's y in place: y' = (q-1)*y mod q
+    a.push(Q).push(PAIR + 224).op("MLOAD").push(Q - 1).op("MULMOD")
+    a.push(PAIR + 224).op("MSTORE")
+    (gx_re, gx_im), (gy_re, gy_im) = srs.g2
+    for val, at in ((gx_im, 256), (gx_re, 288), (gy_im, 320), (gy_re, 352)):
+        a.push(val).push(PAIR + at).op("MSTORE")
+    out_slot = b.alloc()
+    _staticcall(a, 8, PAIR, 384, out_slot, 0x20)
+    a.push(out_slot).op("MLOAD", "ISZERO").jumpi("fail")
+    a.push(0).push(0).op("RETURN")
+
+    runtime = a.assemble()
+    return deployment_code(runtime)
