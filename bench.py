@@ -1,28 +1,38 @@
 """Benchmark entry point (driver contract: print ONE JSON line).
 
 Headline metric: BN254 Pippenger MSM throughput in points/s/chip at the
-MNIST-Tiny circuit size (N = 2^14, the per-commitment MSM the prover runs
-~40x per proof). BASELINE.json records no published reference numbers
-("published": {}), so vs_baseline is reported as 1.0.
+MNIST-Tiny circuit size (N = 2^14, batch 4 — the prover commits several
+polynomials per phase, which is what amortizes launch overhead on the axon
+runtime). BASELINE.json records no published reference numbers
+("published": {}), so vs_baseline compares against this repo's ROUND-1
+measured rate (19,626 pts/s, BENCH_r01.json) — i.e. the framework's own
+progress, not a reference comparison.
 
-Extra diagnostics (NTT throughput) go to stderr.
+Extra keys in the same JSON object carry the full-pipeline wall times
+BASELINE.md names as targets (keygen/prove/verify for MNIST-Tiny at k=14 on
+the real chip). Set ZEROG_BENCH_FAST=1 to skip the proof pipeline (e.g. on a
+cold compile cache).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+ROUND1_MSM_PPS = 19626.0
 
-def main():
+
+def bench_msm():
     import jax
     import jax.numpy as jnp
 
-    from zerog_tpu.field import FR, to_limbs
+    from zerog_tpu.field import FR
     from zerog_tpu.curve import bn254 as c, points_to_device, fixed_base_expand
     from zerog_tpu.curve.pippenger import msm
     from zerog_tpu.poly import NttPlan
+    from zerog_tpu.field import to_limbs
 
     log_n = 14
     n = 1 << log_n
@@ -31,21 +41,18 @@ def main():
     rng = np.random.default_rng(42)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    # SRS-like fixed-base points, expanded on device
     t0 = time.time()
     scalars_for_points = [int(x) for x in rng.integers(1, 1 << 62, n)]
     pts = fixed_base_expand(c.G1_GEN, scalars_for_points)
     print(f"point setup: {time.time()-t0:.1f}s", file=sys.stderr)
-    pdev = points_to_device(pts)
-    pdev = tuple(jnp.asarray(a) for a in pdev)
+    pdev = tuple(jnp.asarray(a) for a in points_to_device(pts))
 
     scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
                for _ in range(batch)]
 
     t0 = time.time()
     out = msm(scalars, pdev)
-    compile_s = time.time() - t0
-    print(f"msm compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    print(f"msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     reps = 3
     t0 = time.time()
@@ -69,12 +76,79 @@ def main():
     bflies = (1 << 15) * 16
     print(f"ntt 2^16: {ntt_s*1e3:.1f} ms -> {bflies/ntt_s:,.0f} butterflies/s",
           file=sys.stderr)
+    return pps, bflies / ntt_s
+
+
+def bench_proof_pipeline():
+    """MNIST-Tiny keygen/prove/verify wall times on the real backend."""
+    import pathlib
+
+    model = pathlib.Path(
+        "/root/reference/models/model_28input_256entry_1hash_1bpi.hdf5")
+    img = pathlib.Path("/root/reference/benches/example_image_7.png")
+    if not (model.exists() and img.exists()):
+        print("reference artifacts missing; skipping proof bench", file=sys.stderr)
+        return {}
+    from zerog_tpu.curve import Srs
+    from zerog_tpu.models import load_wnn, load_grayscale_image
+    from zerog_tpu.plonk.verifier import verify_proof
+
+    wnn = load_wnn(model)
+    image = load_grayscale_image(img)
+
+    t0 = time.time()
+    srs = Srs.setup(14, seed=b"bench-srs")
+    srs_s = time.time() - t0
+    print(f"srs setup: {srs_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    pk = wnn.generate_proving_key(srs)
+    keygen_s = time.time() - t0
+    print(f"keygen: {keygen_s:.1f}s", file=sys.stderr)
+
+    timings = {}
+    t0 = time.time()
+    proof, outputs = wnn.proof(pk, srs, image, rng_seed=b"bench-proof")
+    first_proof_s = time.time() - t0
+    print(f"prove (first, incl. compiles): {first_proof_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    proof, outputs = wnn.proof(pk, srs, image, rng_seed=b"bench-proof2")
+    proof_s = time.time() - t0
+    print(f"prove (warm): {proof_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    assert verify_proof(pk.vk, srs, [outputs], proof)
+    verify_s = time.time() - t0
+    print(f"verify: {verify_s:.1f}s", file=sys.stderr)
+
+    return {
+        "tiny_k": 14,
+        "tiny_srs_s": round(srs_s, 2),
+        "tiny_keygen_s": round(keygen_s, 2),
+        "tiny_proof_first_s": round(first_proof_s, 2),
+        "tiny_proof_wall_s": round(proof_s, 2),
+        "tiny_verify_s": round(verify_s, 2),
+        "tiny_proof_bytes": len(proof),
+    }
+
+
+def main():
+    pps, bps = bench_msm()
+    extra = {}
+    if not os.environ.get("ZEROG_BENCH_FAST"):
+        try:
+            extra = bench_proof_pipeline()
+        except Exception as e:  # noqa: BLE001
+            print(f"proof bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "bn254_msm_points_per_s_per_chip",
         "value": round(pps, 1),
         "unit": "points/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(pps / ROUND1_MSM_PPS, 3),
+        "ntt_butterflies_per_s": round(bps, 1),
+        **extra,
     }))
 
 

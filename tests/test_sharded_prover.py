@@ -1,0 +1,91 @@
+"""Mesh-parallel proving: commitments via the point-sharded MSM and the
+row-sharded quotient must produce BYTE-IDENTICAL proofs to the single-chip
+path under a fixed seed (all arithmetic exact — VERDICT r01 item #4).
+
+Runs on the 8-virtual-CPU-device mesh from conftest at k=6 with a
+nibble-table toy circuit so compiles stay CI-sized.
+"""
+
+import numpy as np
+import pytest
+
+from zerog_tpu.curve import Srs
+from zerog_tpu.field import FR
+from zerog_tpu.parallel import make_mesh
+from zerog_tpu.parallel.sharded_prover import ShardedSrs
+from zerog_tpu.plonk import (
+    Assignment, ConstraintSystem, MockProver, create_proof, keygen,
+    verify_proof,
+)
+
+K = 6
+
+
+class NibbleMulCircuit:
+    """a*b = c (public) with a nibble-range lookup on a — a k=6-sized
+    exercise of gates, lookups, and copies."""
+
+    def __init__(self, a, b):
+        self.a = a
+        self.b = b
+
+    def configure(self, cs: ConstraintSystem):
+        col_a = cs.advice_column()
+        col_b = cs.advice_column()
+        col_c = cs.advice_column()
+        sel = cs.selector()
+        table = cs.lookup_table_column()
+        q_look = cs.selector()
+        instance = cs.instance_column()
+        for c in (col_a, col_b, col_c, instance):
+            cs.enable_equality(c)
+        cs.create_gate("mul", [sel.expr() * (col_a.cur() * col_b.cur() - col_c.cur())])
+        cs.lookup("a_nibble", [(q_look.expr() * col_a.cur(), table)])
+        return dict(a=col_a, b=col_b, c=col_c, sel=sel, table=table,
+                    q_look=q_look, instance=instance)
+
+    def synthesize(self, cfg, asn: Assignment):
+        asn.assign_table([cfg["table"]], [list(range(16))])
+        row = asn.region([cfg["a"], cfg["b"], cfg["c"], cfg["sel"], cfg["q_look"]], 1)
+        (ca,) = asn.assign_advice(cfg["a"], row, self.a % FR.p)
+        asn.assign_advice(cfg["b"], row, self.b % FR.p)
+        (cc,) = asn.assign_advice(cfg["c"], row, self.a * self.b % FR.p)
+        asn.enable_selector(cfg["sel"], row)
+        asn.enable_selector(cfg["q_look"], row)
+        row2 = asn.region([cfg["b"]], 1)
+        (cb2,) = asn.assign_advice(cfg["b"], row2, self.a % FR.p)
+        asn.copy(ca, cb2)
+        asn.constrain_instance(cc, cfg["instance"], 0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    srs = Srs.setup(K, seed=b"sharded-test")
+    pk = keygen(NibbleMulCircuit(0, 0), K, srs)
+    return srs, pk
+
+
+def test_mock_satisfied():
+    MockProver.run(NibbleMulCircuit(3, 5), [[15]], k=K).assert_satisfied()
+
+
+def test_sharded_commit_matches_single(setup):
+    srs, _ = setup
+    mesh = make_mesh(8)
+    ssrs = ShardedSrs(srs, mesh)
+    rng = np.random.default_rng(5)
+    rows = [[int(x) % FR.p for x in rng.integers(0, 1 << 62, srs.n)]
+            for _ in range(2)]
+    assert ssrs.commit_lagrange(rows) == srs.commit_lagrange(rows)
+    assert ssrs.commit(rows) == srs.commit(rows)
+
+
+def test_mesh_proof_byte_identical(setup):
+    srs, pk = setup
+    mesh = make_mesh(8)
+    single = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
+                          rng_seed=b"mesh-seed")
+    sharded = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
+                           rng_seed=b"mesh-seed", mesh=mesh)
+    assert sharded == single
+    assert verify_proof(pk.vk, srs, [[15]], sharded)

@@ -33,7 +33,13 @@ from .jpoints import (
 )
 from .bn254 import G1_GEN, g1_add, g1_double, g1_mul
 
-__all__ = ["msm", "msm_device", "msm_pippenger_host", "fixed_base_expand"]
+__all__ = ["msm", "msm_device", "msm_pippenger_host", "fixed_base_expand",
+           "default_window"]
+
+
+def default_window(n: int) -> int:
+    """Window width heuristic shared by every MSM entry point."""
+    return max(4, min(10, int(n).bit_length() - 4))
 
 SCALAR_BITS = 254
 
@@ -542,7 +548,7 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
     sl = to_limbs(np.asarray(scalars, dtype=object) % FR.p)
 
     if c is None:
-        c = max(4, min(10, int(n).bit_length() - 4))
+        c = default_window(n)
     if strategy == "pippenger":
         results = msm_pippenger_host(jnp.asarray(sl), jnp.asarray(px),
                                      jnp.asarray(py), jnp.asarray(pvalid), c)

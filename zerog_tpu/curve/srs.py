@@ -104,6 +104,48 @@ class Srs:
         out = self._msm_chunked(padded, self.g_dev())
         return out[0] if single else out
 
+    # ---- device-resident commitment paths ---------------------------------
+    # Scalars that already live on the device in Montgomery limb form (the
+    # prover's Lagrange/coefficient stacks) commit without a host round trip:
+    # demont on device, feed the Pippenger pipeline directly.
+    def _msm_dev(self, stack, pdev):
+        import jax.numpy as jnp
+
+        from ..field import jfr
+        from .pippenger import msm_pippenger_host, default_window
+
+        if stack.ndim == 2:
+            stack = stack[None]
+        b = stack.shape[0]
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
+        sl = jfr().from_mont(jnp.asarray(stack))
+        if b_pad > b:
+            sl = jnp.concatenate(
+                [sl, jnp.zeros((b_pad - b,) + sl.shape[1:], sl.dtype)], axis=0)
+        px, py, pvalid = pdev
+        out = []
+        for i in range(0, b_pad, self.MAX_BATCH):
+            res = msm_pippenger_host(
+                sl[i : i + self.MAX_BATCH], jnp.asarray(px), jnp.asarray(py),
+                jnp.asarray(pvalid), c=default_window(self.n))
+            out.extend(res)
+        return out[:b]
+
+    def commit_lagrange_dev(self, stack):
+        """stack: device mont limbs [B, n, 16] (or [n, 16]) of Lagrange
+        values -> list of B affine host points."""
+        single = stack.ndim == 2
+        out = self._msm_dev(stack, self.g_lagrange_dev())
+        return out[0] if single else out
+
+    def commit_dev(self, stack):
+        """stack: device mont limbs [B, n, 16] coefficient-form."""
+        single = stack.ndim == 2
+        out = self._msm_dev(stack, self.g_dev())
+        return out[0] if single else out
+
     # ---- serialization ----------------------------------------------------
     # Two on-disk formats, both `k:u32 LE || g[n] || g_lagrange[n] || g2 ||
     # s_g2` with 64-byte G1 / 128-byte G2 points:

@@ -57,31 +57,37 @@ def _fold_points(points, m: int):
     return points
 
 
-_window_programs: dict = {}
+_msm_programs: dict = {}
 
 
-def _window_program(mesh, c: int):
-    """Compiled one-window kernel: per-shard bucket sums + all_gather + fold."""
+def _msm_program(mesh, c: int):
+    """Compiled all-windows kernel: per-shard bucket sums for every
+    (window, batch) lane (vmapped — the window body compiles once), then ONE
+    all_gather + log-depth fold. A single collective per MSM keeps the
+    virtual-CPU-device rendezvous happy (a host loop of per-window launches
+    floods the shared thread pool and trips the 40 s collective timeout)."""
     key = (mesh, c)
-    prog = _window_programs.get(key)
+    prog = _msm_programs.get(key)
     if prog is not None:
         return prog
     n_dev = mesh.devices.size
 
-    def local(d_w, x, y, v):
-        # d_w: int32[B, Nlocal]; one window's digits for the local point shard
-        sums = jax.vmap(lambda d: _one_window(d, x, y, v, c))(d_w)  # [B, 16] comps
-        gathered = jax.lax.all_gather(sums, AXIS)  # [D, B, 16]
+    def local(digits, x, y, v):
+        # digits: int32[W, B, Nlocal] for the local point shard
+        w, b = digits.shape[0], digits.shape[1]
+        flat = digits.reshape(w * b, digits.shape[2])
+        sums = jax.vmap(lambda d: _one_window(d, x, y, v, c))(flat)  # [W*B, 16]
+        gathered = jax.lax.all_gather(sums, AXIS)  # [D, W*B, 16]
         folded = _fold_points(gathered, n_dev)
-        return tuple(comp[0] for comp in folded)  # [B, 16]
+        return tuple(comp[0].reshape(w, b, 16) for comp in folded)
 
     prog = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, AXIS), P(AXIS, None), P(AXIS, None), P(AXIS)),
+        in_specs=(P(None, None, AXIS), P(AXIS, None), P(AXIS, None), P(AXIS)),
         out_specs=(P(None),) * 3,
         check_rep=False,
     ))
-    _window_programs[key] = prog
+    _msm_programs[key] = prog
     return prog
 
 
@@ -91,15 +97,12 @@ def sharded_msm_device(mesh, scalar_limbs, px, py, pvalid, c: int,
     axis; N divisible by mesh size. Returns replicated Jacobian window sums,
     components [B, W, 16] (W = ceil(scalar_bits / c)).
 
-    Windows are dispatched as a host loop over one compiled program (reused
-    across windows and calls); pass `scalar_bits` to bound the number of
-    windows when the scalars are known to be small.
+    Pass `scalar_bits` to bound the number of windows when the scalars are
+    known to be small.
     """
     digits = jax.jit(_digits, static_argnames=("c", "scalar_bits"))(
         scalar_limbs, c=c, scalar_bits=scalar_bits
     )  # [W, B, N]
-    prog = _window_program(mesh, c)
-    sums = [prog(digits[i], px, py, pvalid) for i in range(digits.shape[0])]
-    return tuple(
-        jnp.stack([s[comp] for s in sums], axis=1) for comp in range(3)
-    )
+    prog = _msm_program(mesh, c)
+    sums = prog(digits, px, py, pvalid)  # comps [W, B, 16]
+    return tuple(jnp.swapaxes(comp, 0, 1) for comp in sums)

@@ -8,6 +8,7 @@ Replaces `halo2_proofs::poly::kzg::multiopen::{ProverGWC, VerifierGWC}` +
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -54,7 +55,8 @@ def _synthetic_div(coeffs, z: int):
 
 
 def multiopen_prove(queries, x: int, domain, srs, transcript):
-    """Write one witness commitment per distinct opening point."""
+    """Write one witness commitment per distinct opening point (host path;
+    kept for reference and small tests — create_proof uses the device path)."""
     v = transcript.squeeze_challenge()
     p = FR.p
     n = srs.n
@@ -67,6 +69,78 @@ def multiopen_prove(queries, x: int, domain, srs, transcript):
             combined[: len(poly)] = (combined[: len(poly)] + poly) % p
         q = _synthetic_div(combined, z)
         w = srs.commit(q)
+        transcript.write_point(w)
+
+
+@dataclasses.dataclass
+class DeviceQuery:
+    row: int             # row index into the prover's Lagrange stack
+    rotation: int
+    eval: int            # p(x * w^rotation), already written to the transcript
+
+
+@functools.cache
+def _fold_fn(c: int):
+    """Jitted Horner v-fold over c stacked rows (one program per group size)."""
+    import jax
+
+    from ..field import jfr
+
+    f = jfr()
+
+    def fn(rows, v_limbs):
+        acc = rows[0]
+        for j in range(1, c):
+            acc = f.add(f.mul(acc, v_limbs), rows[j])
+        return acc
+
+    return jax.jit(fn)
+
+
+def _v_fold_device(stack, v: int):
+    """Horner-combine [C, n, 16] mont Lagrange rows with challenge v:
+    out = sum_j v^(C-1-j) * row_j (row 0 highest power, like the verifier's
+    c_batch fold)."""
+    import jax.numpy as jnp
+
+    from ..field import to_limbs
+
+    v_limbs = jnp.asarray(to_limbs(v, FR, mont=True))
+    return _fold_fn(stack.shape[0])(stack, v_limbs)
+
+
+def multiopen_prove_device(queries, lag_stack, x: int, domain, srs, transcript):
+    """GWC prove with device algebra: per rotation group, v-fold the queried
+    Lagrange rows, Kate-divide on the evaluation domain (elementwise, using
+    batched (z - w^i)^-1), and commit the witness in the Lagrange basis.
+
+    Replaces the host synthetic division (`_synthetic_div`) — the quotient
+    (p(X) - p(z))/(X - z) has degree n-2, so its Lagrange values
+    (v_i - e) * (w^i - z)^-1 determine it exactly.
+
+    queries: list of DeviceQuery (order defines the group order — must match
+    the verifier); lag_stack: [C, n, 16] mont Lagrange values.
+    """
+    from ..poly.eval import domain_inverses, kate_quotient_lagrange
+
+    v = transcript.squeeze_challenge()
+    p = FR.p
+    groups = _group_rotations(queries)
+    rots = [rot for rot, _ in groups]
+    zs = [domain.rotate_point(x, rot) for rot in rots]
+    dinv, _ = domain_inverses(domain.k, zs)
+    qs = []
+    for gi, (rot, idxs) in enumerate(groups):
+        rows = lag_stack[np.asarray([queries[i].row for i in idxs])]
+        combined = _v_fold_device(rows, v)
+        e = 0
+        for i in idxs:
+            e = (e * v + queries[i].eval) % p
+        qs.append(kate_quotient_lagrange(combined, e, dinv[gi]))
+    import jax.numpy as jnp
+
+    ws = srs.commit_lagrange_dev(jnp.stack(qs))
+    for w in ws:
         transcript.write_point(w)
 
 

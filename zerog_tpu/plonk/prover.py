@@ -33,7 +33,7 @@ from ..transcript import KeccakTranscriptWriter
 from .assignment import Assignment
 from .cs import ConstraintSystem
 from .expression import evaluate
-from .gwc import ProverQuery, multiopen_prove
+from .gwc import ProverQuery, multiopen_prove  # noqa: F401 (host path API)
 from .keygen import ProvingKey
 from .lookup import compress, commit_permuted, grand_product
 from .mock import _make_ops
@@ -343,12 +343,23 @@ def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
 
 
 def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
-                 transcript=None, debug=None, timings=None):
+                 transcript=None, debug=None, timings=None, mesh=None):
     """instances: list of per-column public value lists. Returns proof bytes.
 
     `timings`: optional dict filled with per-phase wall times (the framework's
     tracing hook; SURVEY.md §5 lists the reference as having none built in).
+
+    `mesh`: optional jax.sharding.Mesh. Commitment MSMs shard points over the
+    mesh (all_gather + Jacobian fold) and the quotient evaluation row-shards
+    the extended domain (XLA turns the rotation rolls into collective
+    permutes). All arithmetic is exact, so the proof bytes are identical to
+    the single-chip path under the same seed.
     """
+    if mesh is not None:
+        from ..parallel.sharded_prover import ShardedSrs
+
+        if not isinstance(srs, ShardedSrs):
+            srs = ShardedSrs(srs, mesh)
     _t0 = time.time()
     _last = [_t0]
 
@@ -518,127 +529,169 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         ]) if cs.permutation_columns else None,
     )
 
+    if mesh is not None:
+        # row-shard the extended domain: XLA partitions the chunk programs
+        # and inserts collective permutes for the rotation rolls
+        from ..parallel.mesh import shard_axis
+
+        def _shard_rows(x):
+            if (x is not None and hasattr(x, "ndim") and x.ndim >= 2
+                    and x.shape[-2] == domain.extended_n):
+                return jax.device_put(x, shard_axis(mesh, x.ndim - 2, x.ndim))
+            return x
+
+        env = {key: _shard_rows(val) for key, val in env.items()}
+
     chunk_fns = pk._cache.get("quotient_chunks")
     if chunk_fns is None:
         chunk_fns = _build_quotient_chunk_fns(cs, domain, bf)
         pk._cache["quotient_chunks"] = chunk_fns
 
     h_ext = jnp.zeros((domain.extended_n, 16), dtype=jnp.uint32)
+    if mesh is not None:
+        from ..parallel.mesh import shard_axis
+
+        h_ext = jax.device_put(h_ext, shard_axis(mesh, 0, 2))
     for fn in chunk_fns:
         h_ext = fn(env, h_ext)
     h_ext = domain.divide_by_vanishing_poly(h_ext)
     if debug is not None:
         debug["h_ext"] = h_ext
     h_coeff_dev = domain.extended_to_coeff(h_ext)
-    h_coeff = from_limbs(np.asarray(h_coeff_dev), FR, mont=True)
     num_pieces = domain.quotient_poly_degree
-    h_coeff = h_coeff[: num_pieces * n]
-    h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(num_pieces)]
-    h_coms = srs.commit([list(hp) for hp in h_pieces])
+    h_stack = h_coeff_dev[: num_pieces * n].reshape(num_pieces, n, 16)
+    h_coms = srs.commit_dev(h_stack)
     for com in h_coms:
         transcript.write_point(com)
 
     _mark("quotient")
     x = transcript.squeeze_challenge()
 
-    # ---- phase 6: evaluations --------------------------------------------
-    adv_coeff_h = [from_limbs(np.asarray(adv_coeff[i]), FR, mont=True) for i in range(cs.num_advice)]
-    fix_coeff_h = [from_limbs(np.asarray(fix_coeff[i]), FR, mont=True) for i in range(cs.num_fixed)]
-    sigma_coeff_h = (
-        [from_limbs(np.asarray(sigma_coeff[i]), FR, mont=True) for i in range(len(pk.sigma_values))]
-        if pk.sigma_values else []
-    )
-    aux_coeff_h = (
-        [from_limbs(np.asarray(aux_coeff[i]), FR, mont=True) for i in range(aux_coeff.shape[0])]
-        if aux_coeff is not None else []
-    )
-    perm_z_coeff = aux_coeff_h[: len(perm_zs)]
-    lookup_z_coeff = aux_coeff_h[len(perm_zs) : len(zs_all)]
-    lk_coeffs_pairs = aux_coeff_h[len(zs_all) :]
-    # [A'_i, S'_i] interleaved per lookup; keep 4-stride layout for callers
-    lk_coeffs = []
-    for i in range(len(lookups)):
-        lk_coeffs.extend([lk_coeffs_pairs[2 * i], lk_coeffs_pairs[2 * i + 1], None, None])
+    # ---- phase 6: evaluations (device barycentric) ------------------------
+    # One Lagrange-form stack holds every queried polynomial; all openings
+    # are batched barycentric evaluations sharing one batch inversion.
+    from ..poly.eval import barycentric_eval, domain_inverses
 
-    def horner(coeffs, pt):
-        acc = 0
-        for c in reversed(list(coeffs)):
-            acc = (acc * pt + int(c)) % p
-        return acc
-
-    x_next = domain.rotate_point(x, 1)
-    x_prev = domain.rotate_point(x, -1)
-    x_last = domain.rotate_point(x, -(bf + 1))
-
-    for col, rot in cs.advice_queries():
-        transcript.write_scalar(horner(adv_coeff_h[col], domain.rotate_point(x, rot)))
-    for col, rot in cs.fixed_queries():
-        transcript.write_scalar(horner(fix_coeff_h[col], domain.rotate_point(x, rot)))
-    # random poly eval
-    transcript.write_scalar(horner(random_poly, x))
-    # sigma evals
-    for sc in sigma_coeff_h:
-        transcript.write_scalar(horner(sc, x))
-    # permutation z evals
-    for i, zc in enumerate(perm_z_coeff):
-        transcript.write_scalar(horner(zc, x))
-        transcript.write_scalar(horner(zc, x_next))
-    for i in range(len(perm_z_coeff) - 2, -1, -1):
-        transcript.write_scalar(horner(perm_z_coeff[i], x_last))
-    # lookup evals: z(x), z(x_next), A'(x), A'(x_prev), S'(x)
-    for i in range(len(lookups)):
-        zc = lookup_z_coeff[i]
-        a_perm_c = lk_coeffs[4 * i]
-        s_perm_c = lk_coeffs[4 * i + 1]
-        transcript.write_scalar(horner(zc, x))
-        transcript.write_scalar(horner(zc, x_next))
-        transcript.write_scalar(horner(a_perm_c, x))
-        transcript.write_scalar(horner(a_perm_c, x_prev))
-        transcript.write_scalar(horner(s_perm_c, x))
-
-    # ---- phase 7: multiopen ----------------------------------------------
     xn = pow(x, n, p)
-    h_combined = np.zeros(n, dtype=object)
-    for hp in reversed(h_pieces):
-        h_combined = (h_combined * xn) % p
-        h_combined[: len(hp)] = (h_combined[: len(hp)] + hp) % p
+    f = jfr()
+    # h_combined = sum xn^i h_i, folded on device in coefficient form
+    hc_coeff = h_stack[num_pieces - 1]
+    xn_limbs = jnp.asarray(to_limbs(xn, FR, mont=True))
+    for i in range(num_pieces - 2, -1, -1):
+        hc_coeff = f.add(f.mul(hc_coeff, xn_limbs), h_stack[i])
+    random_coeff_dev = jnp.asarray(
+        to_limbs(np.asarray(random_poly, dtype=object), FR, mont=True))
+    tail_lag = domain.coeff_to_lagrange(
+        jnp.stack([random_coeff_dev, hc_coeff]))
 
+    parts = []
+    base = 0
+
+    def push(arr):
+        nonlocal base
+        parts.append(arr)
+        b = base
+        base += arr.shape[0]
+        return b
+
+    adv_base = push(adv_lag) if advice else 0
+    fix_base = push(fix_lag) if asn.fixed else 0
+    sigma_base = push(sigma_lag) if pk.sigma_values else 0
+    aux_base = push(aux_lag) if aux_lag is not None else 0
+    lk_base = aux_base + len(zs_all)
+    random_row = push(tail_lag[:1])
+    hc_row = push(tail_lag[1:])
+    lag_stack = jnp.concatenate(parts, axis=0)
+
+    # (row, rotation) for every transcript eval, in write order
+    eval_specs = []
+    for col, rot in cs.advice_queries():
+        eval_specs.append((adv_base + col, rot))
+    for col, rot in cs.fixed_queries():
+        eval_specs.append((fix_base + col, rot))
+    eval_specs.append((random_row, 0))
+    for j in range(len(pk.sigma_values or [])):
+        eval_specs.append((sigma_base + j, 0))
+    for i in range(len(perm_zs)):
+        eval_specs.append((aux_base + i, 0))
+        eval_specs.append((aux_base + i, 1))
+    for i in range(len(perm_zs) - 2, -1, -1):
+        eval_specs.append((aux_base + i, -(bf + 1)))
+    for i in range(len(lookups)):
+        zrow = aux_base + len(perm_zs) + i
+        arow = lk_base + 2 * i
+        srow = lk_base + 2 * i + 1
+        eval_specs.extend([
+            (zrow, 0), (zrow, 1), (arow, 0), (arow, -1), (srow, 0),
+        ])
+
+    rot_order = []
+    for _, rot in eval_specs:
+        if rot not in rot_order:
+            rot_order.append(rot)
+    zs = [domain.rotate_point(x, rot) for rot in rot_order]
+    dinv, _ = domain_inverses(domain.k, zs)
+    evals_by_point = barycentric_eval(domain.k, lag_stack, zs, dinv)
+    rot_idx = {rot: i for i, rot in enumerate(rot_order)}
+    eval_of = {}
+    for row, rot in eval_specs:
+        eval_of[(row, rot)] = evals_by_point[rot_idx[rot]][row]
+        transcript.write_scalar(eval_of[(row, rot)])
+
+    # ---- phase 7: multiopen (device Kate division) -------------------------
+    from .gwc import DeviceQuery, multiopen_prove_device
+
+    def dq(row, rot):
+        return DeviceQuery(row, rot, eval_of[(row, rot)])
+
+    # h_combined's eval is derived, not independently written
+    hc_eval = 0
     queries = []
     for col, rot in cs.advice_queries():
-        queries.append(ProverQuery(adv_coeff_h[col], rot))
-    for i, zc in enumerate(perm_z_coeff):
-        queries.append(ProverQuery(zc, 0))
-        queries.append(ProverQuery(zc, 1))
-    for i in range(len(perm_z_coeff) - 2, -1, -1):
-        queries.append(ProverQuery(perm_z_coeff[i], -(bf + 1)))
+        queries.append(dq(adv_base + col, rot))
+    for i in range(len(perm_zs)):
+        queries.append(dq(aux_base + i, 0))
+        queries.append(dq(aux_base + i, 1))
+    for i in range(len(perm_zs) - 2, -1, -1):
+        queries.append(dq(aux_base + i, -(bf + 1)))
     for i in range(len(lookups)):
-        queries.append(ProverQuery(lookup_z_coeff[i], 0))
-        queries.append(ProverQuery(lk_coeffs[4 * i], 0))       # A'
-        queries.append(ProverQuery(lk_coeffs[4 * i + 1], 0))   # S'
-        queries.append(ProverQuery(lk_coeffs[4 * i], -1))
-        queries.append(ProverQuery(lookup_z_coeff[i], 1))
+        zrow = aux_base + len(perm_zs) + i
+        arow = lk_base + 2 * i
+        srow = lk_base + 2 * i + 1
+        queries.append(dq(zrow, 0))
+        queries.append(dq(arow, 0))
+        queries.append(dq(srow, 0))
+        queries.append(dq(arow, -1))
+        queries.append(dq(zrow, 1))
     for col, rot in cs.fixed_queries():
-        queries.append(ProverQuery(fix_coeff_h[col], rot))
-    for sc in sigma_coeff_h:
-        queries.append(ProverQuery(sc, 0))
-    queries.append(ProverQuery(h_combined, 0))
-    queries.append(ProverQuery(random_poly, 0))
+        queries.append(dq(fix_base + col, rot))
+    for j in range(len(pk.sigma_values or [])):
+        queries.append(dq(sigma_base + j, 0))
+    hc_eval = _bary_single(domain, lag_stack[hc_row], x, dinv[rot_idx[0]])
+    queries.append(DeviceQuery(hc_row, 0, hc_eval))
+    queries.append(dq(random_row, 0))
 
     if debug is not None:
         debug["ext_helper"] = ext
         debug.update(dict(
             advice=advice, fixed=asn.fixed, inst=inst_padded, lookups=lookups,
             perm_zs=perm_zs, lookup_zs=lookup_zs, random_poly=random_poly,
-            h_pieces=h_pieces, theta=theta, beta=beta, gamma=gamma, y=y, x=x,
+            theta=theta, beta=beta, gamma=gamma, y=y, x=x,
             domain=domain, cs=cs, usable=usable, bf=bf,
-            sigma_values=pk.sigma_values,
-            adv_coeff_h=adv_coeff_h, fix_coeff_h=fix_coeff_h,
-            sigma_coeff_h=sigma_coeff_h, perm_z_coeff=perm_z_coeff,
-            lookup_z_coeff=lookup_z_coeff, lk_coeffs=lk_coeffs,
+            sigma_values=pk.sigma_values, lag_stack=lag_stack,
+            eval_of=eval_of,
         ))
 
     _mark("evals")
-    multiopen_prove(queries, x, domain, srs, transcript)
+    multiopen_prove_device(queries, lag_stack, x, domain, srs, transcript)
 
     _mark("multiopen")
     return transcript.finalize()
+
+
+def _bary_single(domain, row, z: int, dinv_row):
+    """Barycentric evaluation of one Lagrange row at z (shares the batched
+    domain inverses)."""
+    from ..poly.eval import barycentric_eval
+
+    return barycentric_eval(domain.k, row[None], [z], dinv_row[None])[0][0]

@@ -1,0 +1,163 @@
+"""Device polynomial evaluation algebra for the prover's opening phases.
+
+Replaces the host-side Horner loops and synthetic division the round-1 prover
+used for phases 6-7 (the `rayon`-parallel `eval_polynomial` /
+`kate_division` inside halo2_proofs that SURVEY.md §3.1 lists on the
+create_proof hot path). Three primitives, all built from elementwise field
+kernels so XLA fuses them:
+
+- :func:`batch_inv_device` — Montgomery batch inversion as two log-depth
+  Hillis-Steele product trees plus ONE scalar inversion on the host. ~2*log2(n)
+  vector muls; no 254-step Fermat chain (which would blow the per-program
+  compile budget on the axon worker).
+- :func:`domain_inverses` — (z - w^i)^-1 for a batch of opening points; the
+  shared ingredient of barycentric evaluation and Kate division.
+- :func:`barycentric_eval` — p(z) for a stack of Lagrange-form polynomials at
+  a batch of points: p(z) = (z^n-1)/n * sum_i v_i * w^i / (z - w^i).
+- :func:`kate_quotient_lagrange` — (p(X) - p(z))/(X - z) evaluated on the
+  domain: elementwise (v_i - e) * (w^i - z)^-1. Degree drops by one, so the
+  Lagrange form is exact and the witness can be committed with the Lagrange
+  SRS basis — no coefficient-form round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import FR, jfr, to_limbs, from_limbs
+
+__all__ = [
+    "batch_inv_device", "domain_inverses", "barycentric_eval",
+    "kate_quotient_lagrange", "omega_powers",
+]
+
+_f = jfr()
+
+
+@functools.cache
+def omega_powers(k: int) -> np.ndarray:
+    """[n, 16] mont limbs of w^i for the size-2^k domain (host-cached)."""
+    n = 1 << k
+    omega = FR.nth_root_of_unity(k)
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * omega % FR.p
+    return to_limbs(pows, FR, mont=True)
+
+
+@jax.jit
+def _prefix_products(flat):
+    """Inclusive prefix products of flat [m, 16] via Hillis-Steele doubling
+    (log2(m) masked vector muls; the mask keeps shifted-in lanes neutral)."""
+    m = flat.shape[0]
+    steps = max(1, (m - 1).bit_length())
+    out = flat
+    idx = jnp.arange(m)
+    for s in range(steps):
+        shift = 1 << s
+        rolled = jnp.roll(out, shift, axis=0)
+        mult = jnp.where((idx >= shift)[:, None], rolled,
+                         jnp.broadcast_to(jnp.asarray(_ONE), out.shape))
+        out = _f.mul(out, mult)
+    return out
+
+
+_ONE = to_limbs(1, FR, mont=True)
+
+
+@jax.jit
+def _finish_inverses(flat, prefix, total_inv):
+    """inv_i = prefix_{i-1} * suffix_inv_i where suffix_inv is reconstructed
+    by a reverse prefix walk: suffix_inv_i = total_inv * prod_{j>i} a_j^-1.
+    Implemented as inv_i = prefix_{i-1} * (total_inv * rev_prefix(rev a)_{i+1})
+    using a second log-tree on the reversed inputs."""
+    m = flat.shape[0]
+    rev = jnp.flip(flat, axis=0)
+    rev_pref = _prefix_products(rev)                     # prod of last j items
+    suffix = jnp.flip(rev_pref, axis=0)                  # suffix[i] = prod_{j>=i}
+    suffix_next = jnp.concatenate(
+        [suffix[1:], jnp.broadcast_to(jnp.asarray(_ONE), (1, 16))], axis=0)
+    prefix_prev = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(_ONE), (1, 16)), prefix[:-1]], axis=0)
+    # inv_i = total_inv * prefix_{i-1} * suffix_{i+1}
+    return _f.mul(_f.mul(prefix_prev, suffix_next),
+                  jnp.broadcast_to(total_inv, flat.shape))
+
+
+def batch_inv_device(vals):
+    """vals: [..., 16] mont limbs, all nonzero -> elementwise inverses.
+    One 32-byte device->host->device round trip for the single scalar
+    inversion; everything else stays on device."""
+    shape = vals.shape
+    flat = vals.reshape(-1, 16)
+    prefix = _prefix_products(flat)
+    total = from_limbs(np.asarray(jax.device_get(prefix[-1])), FR, mont=True)
+    total_inv = jnp.asarray(to_limbs(pow(int(total), -1, FR.p), FR, mont=True))
+    return _finish_inverses(flat, prefix, total_inv).reshape(shape)
+
+
+@jax.jit
+def _sub_outer(zs, ws):
+    """zs [P, 16], ws [n, 16] -> (z - w^i) as [P, n, 16]."""
+    return _f.sub(zs[:, None, :], ws[None, :, :])
+
+
+def domain_inverses(k: int, zs_host):
+    """(z - w^i)^-1 for each opening point z. Returns ([P, n, 16], ws)."""
+    ws = jnp.asarray(omega_powers(k))
+    zs = jnp.asarray(to_limbs([int(z) % FR.p for z in zs_host], FR, mont=True))
+    denoms = _sub_outer(zs, ws)
+    return batch_inv_device(denoms), ws
+
+
+@jax.jit
+def _bary_weighted_sum(stack, weights):
+    """stack [C, n, 16], weights [n, 16] -> [C, 16] via log-tree reduction."""
+    acc = _f.mul(stack, weights[None, :, :])
+    m = acc.shape[1]
+    while m > 1:
+        half = m // 2
+        acc = _f.add(acc[:, :half], acc[:, half : 2 * half])
+        m = half
+    return acc[:, 0]
+
+
+def barycentric_eval(k: int, stack, zs_host, dinv=None):
+    """Evaluate Lagrange-form polys at points: stack [C, n, 16] mont,
+    zs_host list of ints -> host int matrix [P][C].
+
+    p(z) = (z^n - 1)/n * sum_i v_i * w^i * (z - w^i)^-1
+    """
+    n = 1 << k
+    p = FR.p
+    if dinv is None:
+        dinv, ws = domain_inverses(k, zs_host)
+    else:
+        ws = jnp.asarray(omega_powers(k))
+    outs = []
+    for pi, z in enumerate(zs_host):
+        zn1_over_n = (pow(int(z), n, p) - 1) * pow(n, p - 2, p) % p
+        weights = _f.mul(_f.mul(dinv[pi], ws),
+                         jnp.asarray(to_limbs(zn1_over_n, FR, mont=True)))
+        vals = _bary_weighted_sum(stack, weights)
+        outs.append([int(v) for v in
+                     np.atleast_1d(from_limbs(np.asarray(vals), FR, mont=True))])
+    return outs
+
+
+@jax.jit
+def _kate_kernel(vals, e_limbs, neg_dinv):
+    """(v_i - e) * (w^i - z)^-1 elementwise; neg_dinv = -(z - w^i)^-1."""
+    return _f.mul(_f.sub(vals, e_limbs[None, :]), neg_dinv)
+
+
+def kate_quotient_lagrange(vals, e: int, dinv_row):
+    """vals [n, 16] mont Lagrange values of p; e = p(z); dinv_row [n, 16] =
+    (z - w^i)^-1. Returns Lagrange values of (p(X) - e)/(X - z)."""
+    e_limbs = jnp.asarray(to_limbs(int(e) % FR.p, FR, mont=True))
+    neg_dinv = _f.neg(dinv_row)
+    return _kate_kernel(vals, e_limbs, neg_dinv)
