@@ -1,27 +1,55 @@
-"""End-to-end PLONK tests on a toy circuit: keygen -> prove -> verify,
-including tamper/negative cases. This exercises the full pipeline: MSM
-commitments, lookup argument, permutation argument, quotient on the extended
-domain, GWC multiopen, Keccak transcript, pairing check."""
+"""End-to-end PLONK tests: keygen -> prove -> verify, including
+tamper/negative cases. This exercises the full pipeline: MSM commitments,
+lookup argument, permutation argument, quotient on the extended domain, GWC
+multiopen, Keccak transcript, pairing check.
+
+The k=6 nibble-circuit e2e runs in the default suite; the larger k=9 matrix
+is gated behind ZEROG_SLOW_TESTS (compile-bound on XLA:CPU)."""
 
 import os
 
 import pytest
-
-if not (os.environ.get("ZEROG_SLOW_TESTS") or os.environ.get("ZEROG_TEST_TPU")):
-    pytest.skip(
-        "full prove/verify e2e is compile-bound on XLA:CPU (tens of minutes "
-        "on a cold cache); run with ZEROG_SLOW_TESTS=1, or on the TPU via "
-        "ZEROG_TEST_TPU=1 / the verify skill's CLI pipeline",
-        allow_module_level=True,
-    )
 
 from zerog_tpu.curve import Srs
 from zerog_tpu.field import FR
 from zerog_tpu.plonk import keygen, create_proof, verify_proof
 
 from test_plonk_mock import MulCircuit
+from test_sharded_prover import NibbleMulCircuit
 
 K = 9
+
+
+# ---- small e2e, always on ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def small():
+    srs = Srs.setup(6, seed=b"e2e-small")
+    pk = keygen(NibbleMulCircuit(0, 0), 6, srs)
+    return srs, pk
+
+
+def test_small_prove_verify_and_tamper(small):
+    srs, pk = small
+    proof = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
+                         rng_seed=b"small-1")
+    assert verify_proof(pk.vk, srs, [[15]], proof)
+    with pytest.raises(ValueError):
+        verify_proof(pk.vk, srs, [[16]], proof)
+    bad = bytearray(proof)
+    bad[40] ^= 1
+    with pytest.raises(ValueError):
+        verify_proof(pk.vk, srs, [[15]], bytes(bad))
+
+
+# ---- k=9 matrix, gated --------------------------------------------------------
+
+slow = pytest.mark.skipif(
+    not (os.environ.get("ZEROG_SLOW_TESTS") or os.environ.get("ZEROG_TEST_TPU")),
+    reason="k=9 prove/verify e2e is compile-bound on XLA:CPU (tens of "
+           "minutes on a cold cache); run with ZEROG_SLOW_TESTS=1, or on "
+           "the TPU via ZEROG_TEST_TPU=1 / the verify skill's CLI pipeline",
+)
 
 
 @pytest.fixture(scope="module")
@@ -34,12 +62,14 @@ def pk(srs):
     return keygen(MulCircuit(0, 0), K, srs)
 
 
+@slow
 def test_prove_verify_roundtrip(srs, pk):
     circuit = MulCircuit(3, 5)
     proof = create_proof(pk, srs, circuit, [[15]], rng_seed=b"seed-1")
     assert verify_proof(pk.vk, srs, [[15]], proof)
 
 
+@slow
 def test_proof_deterministic_under_seed(srs, pk):
     p1 = create_proof(pk, srs, MulCircuit(3, 5), [[15]], rng_seed=b"seed-xyz")
     p2 = create_proof(pk, srs, MulCircuit(3, 5), [[15]], rng_seed=b"seed-xyz")
@@ -49,12 +79,14 @@ def test_proof_deterministic_under_seed(srs, pk):
     assert verify_proof(pk.vk, srs, [[15]], p3)
 
 
+@slow
 def test_wrong_instance_rejected(srs, pk):
     proof = create_proof(pk, srs, MulCircuit(3, 5), [[15]], rng_seed=b"s")
     with pytest.raises(ValueError):
         verify_proof(pk.vk, srs, [[16]], proof)
 
 
+@slow
 def test_tampered_proof_rejected(srs, pk):
     proof = create_proof(pk, srs, MulCircuit(3, 5), [[15]], rng_seed=b"s")
     bad = bytearray(proof)
@@ -63,6 +95,7 @@ def test_tampered_proof_rejected(srs, pk):
         verify_proof(pk.vk, srs, [[15]], bytes(bad))
 
 
+@slow
 def test_lying_witness_fails_grand_product(srs, pk):
     # witness with a out of the byte table: the lookup permute must fail
     with pytest.raises(ValueError):

@@ -6,6 +6,8 @@ Runs on the 8-virtual-CPU-device mesh from conftest at k=6 with a
 nibble-table toy circuit so compiles stay CI-sized.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -80,6 +82,11 @@ def test_sharded_commit_matches_single(setup):
     assert ssrs.commit(rows) == srs.commit(rows)
 
 
+@pytest.mark.skipif(
+    not (os.environ.get("ZEROG_SLOW_TESTS") or os.environ.get("ZEROG_TEST_TPU")),
+    reason="two full k=6 proves (~10 min of XLA:CPU compiles); "
+           "run with ZEROG_SLOW_TESTS=1",
+)
 def test_mesh_proof_byte_identical(setup):
     srs, pk = setup
     mesh = make_mesh(8)
