@@ -42,6 +42,25 @@ def test_small_prove_verify_and_tamper(small):
         verify_proof(pk.vk, srs, [[15]], bytes(bad))
 
 
+def test_blake2b_transcript_roundtrip(small):
+    """The native (non-EVM) transcript flavor proves and verifies end to end
+    and is domain-separated from the Keccak flow (halo2's default Blake2b
+    writer; reference src/wnn.rs uses Keccak for EVM compatibility)."""
+    from zerog_tpu.transcript import (
+        Blake2bTranscriptReader, Blake2bTranscriptWriter,
+    )
+
+    srs, pk = small
+    proof = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
+                         rng_seed=b"b2b-1",
+                         transcript=Blake2bTranscriptWriter())
+    assert verify_proof(pk.vk, srs, [[15]], proof,
+                        transcript=Blake2bTranscriptReader(proof))
+    # a Blake2b proof must not verify under the Keccak transcript
+    with pytest.raises(ValueError):
+        verify_proof(pk.vk, srs, [[15]], proof)
+
+
 # ---- k=9 matrix, gated --------------------------------------------------------
 
 slow = pytest.mark.skipif(
