@@ -137,8 +137,24 @@ def main():
     pps, bps = bench_msm()
     extra = {}
     if not os.environ.get("ZEROG_BENCH_FAST"):
+        # The proof pipeline can hit long worker-side compiles on a cold
+        # process; run it in a time-boxed subprocess so the headline JSON
+        # line always lands.
+        import subprocess
+
+        budget = int(os.environ.get("ZEROG_BENCH_PROOF_TIMEOUT", "2700"))
         try:
-            extra = bench_proof_pipeline()
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--proof-only"],
+                capture_output=True, timeout=budget, text=True)
+            sys.stderr.write(res.stderr)
+            for line in res.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    extra = json.loads(line)
+        except subprocess.TimeoutExpired:
+            print(f"proof bench exceeded {budget}s; reporting MSM/NTT only",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"proof bench failed: {e}", file=sys.stderr)
 
@@ -153,4 +169,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--proof-only" in sys.argv:
+        print(json.dumps(bench_proof_pipeline()))
+    else:
+        main()
