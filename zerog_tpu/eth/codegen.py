@@ -33,6 +33,7 @@ Q = FQ.p
 # memory map
 SCRATCH = 0x000          # ec/modexp staging (up to 0x180)
 PAIR = 0x180             # pairing input (384 bytes)
+P_SLOT = 0x2C0           # Fr modulus, interned (MLOAD is 4 bytes vs PUSH32's 33)
 DIG = 0x300              # transcript digest
 KBUF = 0x320             # transcript hash buffer (variable length)
 
@@ -81,7 +82,7 @@ class _B:
         if x[0] == "const" and y[0] == "const":
             v = (x[1] + y[1]) % P if opname == "ADDMOD" else (x[1] * y[1]) % P
             return ("const", v)
-        self.a.push(P)
+        self.a.push(P_SLOT).op("MLOAD")
         self.load(y)
         self.load(x)
         self.a.op(opname)
@@ -312,6 +313,7 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
 
     # exact calldata size
     a.op("CALLDATASIZE").push(proof_end).op("EQ", "ISZERO").jumpi("fail")
+    a.push(P).push(P_SLOT).op("MSTORE")
 
     # validation (mirrors KeccakTranscriptReader's canonicality checks)
     _call_validator(a, "vscalars", 0, cd)                        # instances
@@ -356,7 +358,7 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
             a.push(1).push(KBUF + 32).op("MSTORE8")
             a.push(33).push(KBUF).op("KECCAK256")
         a.op("DUP1").push(DIG).op("MSTORE")
-        a.push(P).op("SWAP1", "MOD")
+        a.push(P_SLOT).op("MLOAD", "SWAP1", "MOD")
         slot = b.alloc()
         b.store(slot)
         ch_slot[name] = ("mem", slot)
