@@ -24,6 +24,22 @@ import numpy as np
 ROUND1_MSM_PPS = 19626.0
 
 
+def _ensure_backend():
+    """If the TPU worker is unreachable (tunnel down / worker crashed), fall
+    back to CPU so the bench still reports a line (flagged via `backend`)."""
+    import jax
+
+    try:
+        jax.devices()
+        return str(jax.default_backend())
+    except RuntimeError as e:
+        print(f"TPU backend unavailable ({e}); falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+        return "cpu-fallback"
+
+
 def bench_msm():
     import jax
     import jax.numpy as jnp
@@ -134,8 +150,9 @@ def bench_proof_pipeline():
 
 
 def main():
+    backend = _ensure_backend()
     pps, bps = bench_msm()
-    extra = {}
+    extra = {"backend": backend}
     if not os.environ.get("ZEROG_BENCH_FAST"):
         # The proof pipeline can hit long worker-side compiles on a cold
         # process; run it in a time-boxed subprocess so the headline JSON
@@ -170,6 +187,7 @@ def main():
 
 if __name__ == "__main__":
     if "--proof-only" in sys.argv:
+        _ensure_backend()
         print(json.dumps(bench_proof_pipeline()))
     else:
         main()
