@@ -55,6 +55,37 @@ def test_device_add_matches_host():
     assert got == want
 
 
+def test_device_mixed_add_matches_host():
+    """jac_madd_incomplete: general-Z p + affine q, incl. p=inf, q invalid,
+    and inverse (h=0, r!=0 -> infinity) lanes. Doubling is OUT of contract."""
+    from zerog_tpu.curve.jpoints import jac_madd_incomplete
+
+    n = 8
+    pts_a = rand_g1(n) + [None, c.G1_GEN]
+    pts_b = rand_g1(n) + [c.G1_GEN, None]
+    pts_a[1] = c.g1_neg(pts_b[1])  # inverse lane
+    ax, ay, av = points_to_device(pts_a)
+    bx, by, bv = points_to_device(pts_b)
+    pa = jac_from_affine(jax.numpy.asarray(ax), jax.numpy.asarray(ay),
+                         jax.numpy.asarray(av))
+    # give p a non-trivial Z by doubling then adding the inverse: use
+    # jac_add(p, p) to scale coordinates while keeping the same point? No —
+    # instead multiply coordinates through a random Z via re-embedding.
+    from zerog_tpu.field import jfq, to_limbs as tl, FQ as FQP
+
+    f = jfq()
+    z = 0x1234567890ABCDEF
+    zl = jax.numpy.asarray(tl([z] * (n + 2), FQP, mont=True))  # z mont
+    z2 = f.mul(zl, zl)
+    pa = (f.mul(pa[0], z2), f.mul(pa[1], f.mul(z2, zl)),
+          f.mul(pa[2], zl))
+    got = points_from_device(jax.jit(jac_madd_incomplete)(
+        pa, jax.numpy.asarray(bx), jax.numpy.asarray(by),
+        jax.numpy.asarray(bv)))
+    want = [c.g1_add(a, b) for a, b in zip(pts_a, pts_b)]
+    assert got == want
+
+
 def test_msm_matches_host():
     n = 64
     pts = rand_g1(n - 1) + [None]

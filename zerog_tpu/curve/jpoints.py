@@ -15,9 +15,9 @@ import jax.numpy as jnp
 from ..field import jfq, to_limbs, from_limbs, FQ
 
 __all__ = [
-    "jac_from_affine", "jac_add", "jac_add_incomplete", "jac_double",
-    "jac_infinity", "points_to_device", "points_from_device", "jac_select",
-    "jac_roll",
+    "jac_from_affine", "jac_add", "jac_add_incomplete", "jac_madd_incomplete",
+    "jac_double", "jac_infinity", "points_to_device", "points_from_device",
+    "jac_select", "jac_roll",
 ]
 
 _f = jfq()
@@ -134,6 +134,33 @@ def jac_add_incomplete(p, q):
     res = (x3, y3, z3)
     res = jac_select(f.is_zero(z1), q, res)
     res = jac_select(f.is_zero(z2), p, res)
+    return res
+
+
+def jac_madd_incomplete(p, qx, qy, qvalid):
+    """Mixed Jacobian + affine addition (8M + 3S vs the general incomplete
+    add's 12M + 4S) handling p == identity and invalid-q lanes but NOT the
+    doubling case — same contract as :func:`jac_add_incomplete`: if p equals
+    the affine point (both valid) the result silently becomes the identity.
+
+    q is (x, y) Montgomery limbs with an explicit validity mask (there is no
+    Z coordinate to encode infinity in affine form)."""
+    f = _f
+    x1, y1, z1 = p
+    z1z1 = f.square(z1)
+    u2 = f.mul(qx, z1z1)
+    s2 = f.mul(qy, f.mul(z1, z1z1))
+    h = f.sub(u2, x1)
+    r = f.sub(s2, y1)
+    hh = f.square(h)
+    hhh = f.mul(h, hh)
+    v = f.mul(x1, hh)
+    x3 = f.sub(f.sub(f.square(r), hhh), f.add(v, v))
+    y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(y1, hhh))
+    z3 = f.mul(z1, h)
+    res = (x3, y3, z3)
+    res = jac_select(f.is_zero(z1), jac_from_affine(qx, qy, qvalid), res)
+    res = jac_select(qvalid, res, p)
     return res
 
 

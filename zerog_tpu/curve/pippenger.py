@@ -28,8 +28,9 @@ import numpy as np
 
 from ..field import FR, FQ, to_limbs
 from .jpoints import (
-    jac_add, jac_add_incomplete, jac_double, jac_select, jac_from_affine,
-    jac_infinity, jac_roll, points_from_device, points_to_device,
+    jac_add, jac_add_incomplete, jac_madd_incomplete, jac_double, jac_select,
+    jac_from_affine, jac_infinity, jac_roll, points_from_device,
+    points_to_device,
 )
 from .bn254 import G1_GEN, g1_add, g1_double, g1_mul
 
@@ -265,16 +266,14 @@ def _pipv2_prep(scalar_limbs, px, py, pvalid, c: int, r_rows: int):
     sx = _colmaj(px[order], r_rows)                 # [R, G, C, 16]
     sy = _colmaj(py[order], r_rows)
     sval = _colmaj(pvalid[order], r_rows)
-    zmont = jnp.asarray(to_limbs(FQ.r_mont))
-    sz = jnp.where(sval[..., None], jnp.broadcast_to(zmont, sx.shape),
-                   jnp.zeros_like(sx))
     info = _stream_info(ds, r_rows, 1 << c)
-    return (sx, sy, sz) + info
+    return (sx, sy, sval) + info
 
 
 @jax.jit
 def _pipv2_chunk(carry, xs):
-    """_PIP_CHUNK flush-scan steps; xs = (x, y, z jac rows, flags)."""
+    """_PIP_CHUNK flush-scan steps over a JACOBIAN stream (round 2, where
+    pieces carry arbitrary Z); xs = (x, y, z jac rows, flags)."""
     def body(carry, xs):
         x, y, z, flag = xs
         pt = (x, y, z)
@@ -285,16 +284,33 @@ def _pipv2_chunk(carry, xs):
     return jax.lax.scan(body, carry, xs)
 
 
-def _flush_scan(stream, flags):
-    """Run the chunked flush scan over jac stream [R, G, C]; returns pieces
+@jax.jit
+def _pipv2_chunk_affine(carry, xs):
+    """_PIP_CHUNK flush-scan steps over an AFFINE stream (round 1: the sorted
+    base points all have Z = 1), using the 8M+3S mixed add instead of the
+    12M+4S general incomplete add; xs = (x, y, valid rows, flags)."""
+    def body(carry, xs):
+        x, y, val, flag = xs
+        flushed = jac_select(flag, carry, (jnp.zeros_like(x),) * 3)
+        carry = jac_select(flag, jac_from_affine(x, y, val),
+                           jac_madd_incomplete(carry, x, y, val))
+        return carry, flushed
+
+    return jax.lax.scan(body, carry, xs)
+
+
+def _flush_scan(stream, flags, affine: bool):
+    """Run the chunked flush scan over a stream [R, G, C] — affine (x, y,
+    valid) or jacobian (x, y, z) per `affine` — returning jac pieces
     [R+1, G, C] (row r = piece flushed at step r; row R = final carry)."""
     r_total = flags.shape[0]
     g, cdim = flags.shape[1], flags.shape[2]
     carry = jac_infinity((g, cdim))
     step = min(_PIP_CHUNK, r_total)
+    chunk_fn = _pipv2_chunk_affine if affine else _pipv2_chunk
     chunks = []
     for i in range(0, r_total, step):
-        carry, flushed = _pipv2_chunk(
+        carry, flushed = chunk_fn(
             carry, tuple(a[i:i + step] for a in stream) + (flags[i:i + step],)
         )
         chunks.append(flushed)
@@ -397,10 +413,10 @@ def msm_pippenger_host(sl, px, py, pvalid, c: int):
     r_rows = min(1 << max(1, (n0 - 1).bit_length()),
                  max(_PIP_R, 1 << ((n0 - 1).bit_length() + 1) // 2))
     nb = 1 << c
-    sx, sy, sz, flags, pb, pr, pbf, prf, max_run = _pipv2_prep(
+    sx, sy, sval, flags, pb, pr, pbf, prf, max_run = _pipv2_prep(
         sl, px, py, pvalid, c=c, r_rows=r_rows
     )
-    pieces = _flush_scan((sx, sy, sz), flags)
+    pieces = _flush_scan((sx, sy, sval), flags, affine=True)
     pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
     pr_all = jnp.concatenate([pr, prf[None]], axis=0)
     if int(max_run) > r_rows:
@@ -408,7 +424,7 @@ def msm_pippenger_host(sl, px, py, pvalid, c: int):
         # pieces by bucket and rerun the flush scan — bounds pieces <= C
         stream2, keys2 = _pipv2_compact(pieces, pb_all, r_rows)
         flags, pb, pr, pbf, prf, _ = _stream_info_jit(keys2, r_rows, nb)
-        pieces = _flush_scan(stream2, flags)
+        pieces = _flush_scan(stream2, flags, affine=False)
         pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
         pr_all = jnp.concatenate([pr, prf[None]], axis=0)
     buckets = _pipv2_scatter(pieces, pb_all, pr_all, p_max=2, c=c)
