@@ -594,15 +594,25 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
 
 @functools.partial(jax.jit, static_argnames=())
 def _expand_chunk(acc, bits, dx, dy):
-    """Add BIT_CHUNK doubling-table entries (masked) into acc [N]."""
+    """Add BIT_CHUNK doubling-table entries (masked) into acc [N].
+
+    Uses the mixed incomplete add: entries are affine (the doubling table of
+    the base), and the incomplete contract's only broken case (acc == entry,
+    both valid) cannot occur — after processing bits < i the accumulator is
+    (k mod 2^i) * base with k mod 2^i < 2^i <= 2^253 < r, so its scalar never
+    equals the entry's 2^i. The cancellation lane acc == -entry (possible at
+    i = 253 since r - 2^253 < 2^253) IS handled: h = 0, r != 0 gives Z3 = 0,
+    the correct identity encoding."""
     n = bits.shape[1]
 
     def step(carry, xs):
         b, x, y = xs
-        p = jac_from_affine(
-            jnp.broadcast_to(x, (n, 16)), jnp.broadcast_to(y, (n, 16)), valid=b
-        )
-        return jac_add(carry, p), None
+        return jac_madd_incomplete(
+            carry,
+            jnp.broadcast_to(x, (n, 16)),
+            jnp.broadcast_to(y, (n, 16)),
+            b,
+        ), None
 
     acc, _ = jax.lax.scan(step, acc, (bits, dx, dy))
     return acc
