@@ -164,10 +164,14 @@ def bench_proof_pipeline(tag: str):
     print(f"[{tag}] prove (first, incl. compiles): {first_proof_s:.1f}s",
           file=sys.stderr)
 
+    timings = {}
     t0 = time.time()
-    proof, outputs = wnn.proof(pk, srs, image, rng_seed=b"bench-proof2")
+    proof, outputs = wnn.proof(pk, srs, image, rng_seed=b"bench-proof2",
+                               timings=timings)
     proof_s = time.time() - t0
-    print(f"[{tag}] prove (warm): {proof_s:.1f}s", file=sys.stderr)
+    print(f"[{tag}] prove (warm): {proof_s:.1f}s; phases: "
+          + ", ".join(f"{k}={v:.1f}s" for k, v in timings.items()),
+          file=sys.stderr)
 
     t0 = time.time()
     assert verify_proof(pk.vk, srs, [outputs], proof)

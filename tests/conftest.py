@@ -34,7 +34,22 @@ try:
 except OSError:
     pass
 
+import pytest
+
 REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def k6_setup():
+    """Shared k=6 SRS + proving key over the NibbleMulCircuit — the setup is
+    compile-bound on XLA:CPU (~1 min cold), so e2e modules share one."""
+    from zerog_tpu.curve import Srs
+    from zerog_tpu.plonk import keygen
+    from test_sharded_prover import NibbleMulCircuit
+
+    srs = Srs.setup(6, seed=b"k6-shared")
+    pk = keygen(NibbleMulCircuit(0, 0), 6, srs)
+    return srs, pk
 
 
 def reference_path(rel: str) -> pathlib.Path:

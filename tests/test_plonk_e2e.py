@@ -22,11 +22,9 @@ K = 9
 
 # ---- small e2e, always on ----------------------------------------------------
 
-@pytest.fixture(scope="module")
-def small():
-    srs = Srs.setup(6, seed=b"e2e-small")
-    pk = keygen(NibbleMulCircuit(0, 0), 6, srs)
-    return srs, pk
+@pytest.fixture()
+def small(k6_setup):
+    return k6_setup
 
 
 def test_small_prove_verify_and_tamper(small):

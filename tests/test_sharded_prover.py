@@ -60,11 +60,9 @@ class NibbleMulCircuit:
         asn.constrain_instance(cc, cfg["instance"], 0)
 
 
-@pytest.fixture(scope="module")
-def setup():
-    srs = Srs.setup(K, seed=b"sharded-test")
-    pk = keygen(NibbleMulCircuit(0, 0), K, srs)
-    return srs, pk
+@pytest.fixture()
+def setup(k6_setup):
+    return k6_setup
 
 
 def test_mock_satisfied():

@@ -146,13 +146,14 @@ class Wnn:
         dummy = np.zeros(self.img_shape, dtype=np.uint8)
         return keygen(self.get_circuit(dummy), srs.k, srs)
 
-    def proof(self, pk, srs, image: np.ndarray, rng_seed=None):
-        """Returns (proof_bytes, outputs) (reference src/wnn.rs:232-262)."""
+    def proof(self, pk, srs, image: np.ndarray, rng_seed=None, timings=None):
+        """Returns (proof_bytes, outputs) (reference src/wnn.rs:232-262).
+        `timings`: optional dict filled with per-phase prover wall times."""
         from ..plonk.prover import create_proof
 
         outputs = [int(v) for v in self.predict(image)]
         proof = create_proof(pk, srs, self.get_circuit(image), [outputs],
-                             rng_seed=rng_seed)
+                             rng_seed=rng_seed, timings=timings)
         return proof, outputs
 
     @staticmethod
