@@ -22,7 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..curve.jpoints import jac_add, jac_roll, jac_select
@@ -85,7 +85,7 @@ def _msm_program(mesh, c: int):
         local, mesh=mesh,
         in_specs=(P(None, None, AXIS), P(AXIS, None), P(AXIS, None), P(AXIS)),
         out_specs=(P(None),) * 3,
-        check_rep=False,
+        check_vma=False,
     ))
     _msm_programs[key] = prog
     return prog

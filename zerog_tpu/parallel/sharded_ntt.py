@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..field import FR, jfr, to_limbs
@@ -75,7 +75,7 @@ class FourStepNtt:
             local, mesh=mesh,
             in_specs=(P(None, AXIS, None), P(AXIS, None, None)),
             out_specs=P(None, AXIS, None),
-            check_rep=False,
+            check_vma=False,
         )
         x_mat = values.reshape(n2, n1, 16)  # x[i1 + n1*i2] at [i2, i1]
         out = fn(x_mat, jnp.asarray(self.twiddle))  # [n1(k1), n2(k2), 16]
