@@ -124,9 +124,13 @@ def bench_msm(cpu_fallback: bool = False):
 
 _PIPELINES = {
     # tag -> (model file, k) — MNIST-Tiny and MNIST-Small per BASELINE.md
-    # targets (reference registry src/lib.rs:48-49).
+    # targets (reference registry src/lib.rs:48-50). Medium matches the
+    # reference's criterion bench matrix (benches/bench.rs:47-76) and runs
+    # only when ZEROG_BENCH_MEDIUM=1 (keeps the default driver run inside
+    # its time budget).
     "tiny": ("model_28input_256entry_1hash_1bpi.hdf5", 14),
     "small": ("model_28input_1024entry_2hash_2bpi.hdf5", 15),
+    "medium": ("model_28input_2048entry_2hash_3bpi.hdf5", 15),
 }
 
 
@@ -204,7 +208,9 @@ def main():
         import subprocess
 
         budget = int(os.environ.get("ZEROG_BENCH_PROOF_TIMEOUT", "2400"))
-        for tag in ("tiny", "small"):
+        tags = ("tiny", "small", "medium") if os.environ.get(
+            "ZEROG_BENCH_MEDIUM") else ("tiny", "small")
+        for tag in tags:
             try:
                 res = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
