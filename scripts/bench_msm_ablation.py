@@ -32,6 +32,9 @@ def main():
     pdev = tuple(jnp.asarray(a) for a in points_to_device(pts))
     print(f"setup {time.time()-t0:.0f}s", file=sys.stderr)
 
+    from zerog_tpu.curve.pippenger import build_window_table
+
+    tables = {}
     for b in (1, 2, 4, 8):
         scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p
                     for _ in range(n)] for _ in range(b)]
@@ -45,6 +48,24 @@ def main():
             per = (time.time() - t0) / (reps * b)
             print(f"B={b} c={c}: cold {cold:6.1f}s  warm {per*1e3:7.1f} ms/msm "
                   f"-> {n/per:10,.0f} pts/s", file=sys.stderr)
+        # merged-window fixed-base path (what Srs.commit* uses)
+        for c in (log_n - 3, log_n - 2, log_n - 1, log_n):
+            if c < 4:
+                continue
+            if c not in tables:
+                t0 = time.time()
+                tables[c] = build_window_table(pdev, c)
+                print(f"fixed c={c}: table build {time.time()-t0:6.1f}s",
+                      file=sys.stderr)
+            t0 = time.time()
+            msm(scalars, table=tables[c])
+            cold = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                msm(scalars, table=tables[c])
+            per = (time.time() - t0) / (reps * b)
+            print(f"B={b} fixed c={c}: cold {cold:6.1f}s  warm {per*1e3:7.1f} "
+                  f"ms/msm -> {n/per:10,.0f} pts/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

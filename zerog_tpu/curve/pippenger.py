@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field import FR, FQ, to_limbs
+from ..field import FR, FQ, jfq, to_limbs, from_limbs
 from .jpoints import (
     jac_add, jac_add_incomplete, jac_madd_incomplete, jac_double, jac_select,
     jac_from_affine, jac_infinity, jac_roll, points_from_device,
@@ -34,8 +34,9 @@ from .jpoints import (
 )
 from .bn254 import G1_GEN, g1_add, g1_double, g1_mul
 
-__all__ = ["msm", "msm_device", "msm_pippenger_host", "fixed_base_expand",
-           "default_window"]
+__all__ = ["msm", "msm_device", "msm_pippenger_host", "msm_fixed_host",
+           "fixed_base_expand", "default_window", "default_fixed_window",
+           "build_window_table", "WindowTable"]
 
 
 def default_window(n: int) -> int:
@@ -245,18 +246,16 @@ _stream_info_jit = functools.partial(jax.jit, static_argnames=("r_rows", "nb"))(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("c", "r_rows"))
-def _pipv2_prep(scalar_limbs, px, py, pvalid, c: int, r_rows: int):
-    """Level-1 prep: balanced-window digits, per-lane sort, point gather.
-    Scalars uint32[B, N, 16]; points [N, 16] affine mont + valid [N]."""
-    digits = _digits_balanced(scalar_limbs, c)      # [W, B, N]
-    w, b, n0 = digits.shape
-    g = w * b
-    ds = digits.reshape(g, n0)
+def _prep_core(ds, px, py, pvalid, r_rows: int, nb: int):
+    """Shared level-1 prep from a digit matrix: mask invalid lanes to bucket
+    0, pad the point axis to an r_rows multiple, sort each lane's digits,
+    gather points into column-major scan order, and build the flush-scan
+    bookkeeping. ds: int32[G, M] digits; points [M, 16] affine mont."""
+    m0 = ds.shape[1]
     ds = jnp.where(pvalid[None, :], ds, 0)          # invalid -> bucket 0
-    n = ((n0 + r_rows - 1) // r_rows) * r_rows
-    if n > n0:
-        pad = n - n0
+    m = ((m0 + r_rows - 1) // r_rows) * r_rows
+    if m > m0:
+        pad = m - m0
         ds = jnp.pad(ds, ((0, 0), (0, pad)))
         pvalid = jnp.pad(pvalid, (0, pad))
         px = jnp.pad(px, ((0, pad), (0, 0)))
@@ -266,8 +265,30 @@ def _pipv2_prep(scalar_limbs, px, py, pvalid, c: int, r_rows: int):
     sx = _colmaj(px[order], r_rows)                 # [R, G, C, 16]
     sy = _colmaj(py[order], r_rows)
     sval = _colmaj(pvalid[order], r_rows)
-    info = _stream_info(ds, r_rows, 1 << c)
+    info = _stream_info(ds, r_rows, nb)
     return (sx, sy, sval) + info
+
+
+@functools.partial(jax.jit, static_argnames=("c", "r_rows"))
+def _pipv2_prep(scalar_limbs, px, py, pvalid, c: int, r_rows: int):
+    """Level-1 prep: balanced-window digits, per-lane sort, point gather.
+    Scalars uint32[B, N, 16]; points [N, 16] affine mont + valid [N]."""
+    digits = _digits_balanced(scalar_limbs, c)      # [W, B, N]
+    w, b, n0 = digits.shape
+    ds = digits.reshape(w * b, n0)
+    return _prep_core(ds, px, py, pvalid, r_rows, 1 << c)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "r_rows"))
+def _pipfb_prep(scalar_limbs, tx, ty, tvalid, c: int, r_rows: int):
+    """Merged-window prep for the fixed-base path: each scalar row's W digit
+    vectors are concatenated window-major (index j*N + i, matching the
+    shifted-table layout), so one bucket accumulation covers every window.
+    Scalars uint32[B, N, 16]; table [W*N, 16] affine mont + valid [W*N]."""
+    digits = _digits_balanced(scalar_limbs, c)      # [W, B, N]
+    w, b, n0 = digits.shape
+    ds = jnp.moveaxis(digits, 0, 1).reshape(b, w * n0)
+    return _prep_core(ds, tx, ty, tvalid, r_rows, 1 << c)
 
 
 @jax.jit
@@ -366,14 +387,27 @@ def _pipv2_scatter(pieces, pb, pr, p_max: int, c: int):
 
 @jax.jit
 def _pipv2_sum_rows(xs):
-    """Fold [L, G, W] jac rows into [G, W] (elementwise accumulate scan)."""
-    init = jac_infinity(xs[0].shape[1:3])
+    """Fold [L, G, W] jac rows into [G, W] with a log-depth pairwise tree
+    (same add count as a linear scan, log L sequential steps instead of L).
 
-    def body(carry, row):
-        return jac_add_incomplete(carry, row), None
-
-    out, _ = jax.lax.scan(body, init, xs)
-    return out
+    Incomplete adds are safe here: operands are sums of DISJOINT bucket
+    subsets, so structural equality only occurs between two empty subsets —
+    both infinity, which the add's identity lanes handle; a value collision
+    between non-empty subsets has probability ~2^-254."""
+    rows = xs
+    length = rows[0].shape[0]
+    while length > 1:
+        half = length // 2
+        summed = jac_add_incomplete(
+            tuple(comp[:half] for comp in rows),
+            tuple(comp[half:2 * half] for comp in rows),
+        )
+        rows = tuple(
+            jnp.concatenate([s, comp[2 * half:]], axis=0)
+            for s, comp in zip(summed, rows)
+        )
+        length = half + (length - 2 * half)
+    return tuple(comp[0] for comp in rows)
 
 
 @jax.jit
@@ -403,19 +437,19 @@ def _pip_bias():
     return pt, (jnp.asarray(x[0]), jnp.asarray(y[0]), jnp.asarray(z))
 
 
-def msm_pippenger_host(sl, px, py, pvalid, c: int):
-    """Column-scan Pippenger. sl: uint32[B, N, 16] canonical scalar limbs;
-    points on device. Returns [B] affine host points."""
-    b = int(sl.shape[0])
-    n0 = int(px.shape[0])
-    # r_rows >= sqrt(n) so that level-2 runs (<= C = n/r_rows pieces per
-    # bucket) always fit one level-2 column; capped below by _PIP_R.
-    r_rows = min(1 << max(1, (n0 - 1).bit_length()),
-                 max(_PIP_R, 1 << ((n0 - 1).bit_length() + 1) // 2))
+def _pip_r_rows(m: int) -> int:
+    """r_rows >= sqrt(m) so that level-2 runs (<= C = m/r_rows pieces per
+    bucket) always fit one level-2 column; capped below by _PIP_R."""
+    return min(1 << max(1, (m - 1).bit_length()),
+               max(_PIP_R, 1 << ((m - 1).bit_length() + 1) // 2))
+
+
+def _bucket_pipeline(prep, r_rows: int, c: int):
+    """Shared bucket stage: flush scan -> (optional) compaction -> scatter ->
+    marginal-split weighted sum. Returns ((w_hi, w_lo) host points per lane
+    group as a flat list [2*G], neg_bias, lo_bits)."""
     nb = 1 << c
-    sx, sy, sval, flags, pb, pr, pbf, prf, max_run = _pipv2_prep(
-        sl, px, py, pvalid, c=c, r_rows=r_rows
-    )
+    sx, sy, sval, flags, pb, pr, pbf, prf, max_run = prep
     pieces = _flush_scan((sx, sy, sval), flags, affine=True)
     pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
     pr_all = jnp.concatenate([pr, prf[None]], axis=0)
@@ -455,9 +489,19 @@ def msm_pippenger_host(sl, px, py, pvalid, c: int):
 
     host = points_from_device(tuple(comp.reshape(g * 2, 16) for comp in acc2))
     neg_k = (bias_pt[0], (-bias_pt[1]) % FQ.p)
+    return host, neg_k, lo_bits
+
+
+def msm_pippenger_host(sl, px, py, pvalid, c: int):
+    """Column-scan Pippenger. sl: uint32[B, N, 16] canonical scalar limbs;
+    points on device. Returns [B] affine host points."""
+    b = int(sl.shape[0])
+    r_rows = _pip_r_rows(int(px.shape[0]))
+    prep = _pipv2_prep(sl, px, py, pvalid, c=c, r_rows=r_rows)
+    host, neg_k, lo_bits = _bucket_pipeline(prep, r_rows, c)
     sizes, _ = _window_layout(c)
     results = []
-    w = g // b
+    w = len(host) // (2 * b)
     for bi in range(b):
         window_sums = []
         for wi in range(w):
@@ -479,6 +523,133 @@ def _fold_windows_host(window_points, c):
             acc = g1_double(acc) if acc is not None else None
         acc = g1_add(acc, pt)
     return acc
+
+
+# ---- fixed-base merged-window Pippenger -------------------------------------
+#
+# The prover's bases are FIXED (SRS monomial/Lagrange powers; every proof
+# commits ~40 polynomials against the same two point sets), so we precompute
+# per-window shifted copies  Q[j*N + i] = 2^{offset_j} * P_i  once and merge
+# ALL windows into a single bucket accumulation over M = W*N points. Wins vs
+# the per-window path:
+#   - wide windows become economical: the O(2^c) bucket fold is paid once per
+#     scalar row instead of once per (window x row), so c grows from ~10 to
+#     13-16 and the dominant flush-scan term W*N shrinks ~1.6x;
+#   - the per-window host fold (W Python point ops per row) collapses to one
+#     hi*2^lo + lo combination per row.
+# Table build is ~254 elementwise doubling passes over N lanes plus one
+# batched affine normalization — amortized across every later commitment.
+# Incomplete-add contract: table entries 2^{o_j} * P_i are pairwise distinct
+# for random-looking bases (SRS powers; collision ~2^-254).
+
+_fq = jfq()
+_FQ_ONE = to_limbs(1, FQ, mont=True)
+
+
+def _fq_prefix_products(flat):
+    """[M, 16] FQ mont limbs -> inclusive prefix products (log-depth)."""
+    m = flat.shape[0]
+    steps = max(1, (m - 1).bit_length())
+    out = flat
+    idx = jnp.arange(m)
+    for s in range(steps):
+        shift = 1 << s
+        rolled = jnp.roll(out, shift, axis=0)
+        mult = jnp.where((idx >= shift)[:, None], rolled,
+                         jnp.broadcast_to(jnp.asarray(_FQ_ONE), out.shape))
+        out = _fq.mul(out, mult)
+    return out
+
+
+@jax.jit
+def _fq_finish_inverses(flat, prefix, total_inv):
+    """inv_i = prefix_{i-1} * total_inv * rev_prefix(rev flat)_{i+1}."""
+    rev_pref = _fq_prefix_products(jnp.flip(flat, axis=0))
+    suffix = jnp.flip(rev_pref, axis=0)
+    one = jnp.broadcast_to(jnp.asarray(_FQ_ONE), (1, 16))
+    suffix_next = jnp.concatenate([suffix[1:], one], axis=0)
+    prefix_prev = jnp.concatenate([one, prefix[:-1]], axis=0)
+    return _fq.mul(_fq.mul(prefix_prev, suffix_next),
+                   jnp.broadcast_to(total_inv, flat.shape))
+
+
+def _fq_batch_inv(vals):
+    """vals [M, 16] FQ mont limbs, all nonzero -> elementwise inverses (one
+    32-byte host round trip for the single total inversion)."""
+    prefix = jax.jit(_fq_prefix_products)(vals)
+    total = from_limbs(np.asarray(jax.device_get(prefix[-1])), FQ, mont=True)
+    total_inv = jnp.asarray(to_limbs(pow(int(total), -1, FQ.p), FQ, mont=True))
+    return _fq_finish_inverses(vals, prefix, total_inv)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _double_n(p, n: int):
+    """n unrolled Jacobian doublings (n <= window width, a tiny program)."""
+    for _ in range(n):
+        p = jac_double(p)
+    return p
+
+
+class WindowTable:
+    """Precomputed per-window shifted base points for the merged-window MSM.
+
+    Layout: entry j*N + i is 2^{offset_j} * P_i (affine Montgomery limbs),
+    offsets from the balanced window layout for width c."""
+
+    __slots__ = ("c", "n", "tx", "ty", "tvalid")
+
+    def __init__(self, c, n, tx, ty, tvalid):
+        self.c, self.n, self.tx, self.ty, self.tvalid = c, n, tx, ty, tvalid
+
+
+def default_fixed_window(n: int) -> int:
+    """Width heuristic for the merged fixed-base path: cost model
+    ceil(254/c)*N + ~4*2^c is minimized near log2(N) - 1."""
+    return max(4, min(16, int(n).bit_length() - 2))
+
+
+def build_window_table(points_dev, c: int) -> WindowTable:
+    """Build the merged-window table for a fixed point set (device arrays
+    from points_to_device). One doubling chain of 254 elementwise passes over
+    N lanes + one batched affine normalization."""
+    px, py, pvalid = (jnp.asarray(a) for a in points_dev)
+    n = int(px.shape[0])
+    sizes, _ = _window_layout(c)
+    cur = jac_from_affine(px, py, pvalid)
+    comps = ([px], [py], [jnp.where(
+        pvalid[:, None], jnp.broadcast_to(jnp.asarray(_FQ_ONE), px.shape),
+        jnp.zeros_like(px))])
+    for size in sizes[:-1]:
+        cur = _double_n(cur, size)
+        for lst, comp in zip(comps, cur):
+            lst.append(comp)
+    jx, jy, jz = (jnp.concatenate(lst, axis=0) for lst in comps)
+    tvalid = jnp.tile(pvalid, len(sizes))
+    # batch-normalize to affine: x/z^2, y/z^3 (invalid lanes use z=1)
+    one = jnp.broadcast_to(jnp.asarray(_FQ_ONE), jz.shape)
+    z = jnp.where(tvalid[:, None], jz, one)
+    zinv = _fq_batch_inv(z)
+    zinv2 = jax.jit(_fq.square)(zinv)
+    tx = jax.jit(_fq.mul)(jx, zinv2)
+    ty = jax.jit(_fq.mul)(jy, jax.jit(_fq.mul)(zinv, zinv2))
+    return WindowTable(c, n, tx, ty, tvalid)
+
+
+def msm_fixed_host(sl, table: WindowTable):
+    """Merged-window fixed-base MSM. sl: uint32[B, N, 16] canonical scalar
+    limbs; table from build_window_table. Returns [B] affine host points."""
+    b = int(sl.shape[0])
+    c = table.c
+    r_rows = _pip_r_rows(int(table.tx.shape[0]))
+    prep = _pipfb_prep(sl, table.tx, table.ty, table.tvalid, c=c,
+                       r_rows=r_rows)
+    host, neg_k, lo_bits = _bucket_pipeline(prep, r_rows, c)
+    results = []
+    for bi in range(b):
+        w_hi = g1_add(host[2 * bi], neg_k)
+        w_lo = g1_add(host[2 * bi + 1], neg_k)
+        results.append(g1_add(g1_mul(w_hi, 1 << lo_bits), w_lo))
+    return results
 
 
 BIT_CHUNK = 32
@@ -540,11 +711,14 @@ def _msm_danaa_device(bits, px, py, pvalid):
     return _reduce_lanes(acc)
 
 
-def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
+def msm(scalars, points_dev=None, c: int | None = None,
+        strategy: str = "pippenger", table: WindowTable | None = None):
     """Host-facing MSM.
 
     scalars: 2D list/array [B][N] of ints in [0, r) (or 1D for B=1);
-    points_dev: (px, py, pvalid) from :func:`points_to_device`.
+    points_dev: (px, py, pvalid) from :func:`points_to_device`, or pass
+    `table` (a :class:`WindowTable`) to use the merged-window fixed-base
+    path (strategy "fixed").
     Returns list of B affine points (or a single point for 1D input).
 
     The batch dimension is padded up to a power of two so the jitted graph is
@@ -553,8 +727,12 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
     single = not isinstance(scalars[0], (list, tuple, np.ndarray))
     if single:
         scalars = [scalars]
-    px, py, pvalid = points_dev
-    n = px.shape[0]
+    if table is not None:
+        strategy = "fixed"
+        n = table.n
+    else:
+        px, py, pvalid = points_dev
+        n = px.shape[0]
     b_real = len(scalars)
     b_pad = 1
     while b_pad < b_real:
@@ -562,6 +740,13 @@ def msm(scalars, points_dev, c: int | None = None, strategy: str = "pippenger"):
     if b_pad > b_real:
         scalars = list(scalars) + [[0] * len(scalars[0])] * (b_pad - b_real)
     sl = to_limbs(np.asarray(scalars, dtype=object) % FR.p)
+
+    if strategy == "fixed":
+        if table is None:
+            raise ValueError("strategy='fixed' requires a WindowTable")
+        results = msm_fixed_host(jnp.asarray(sl), table)
+        results = results[:b_real]
+        return results[0] if single else results
 
     if c is None:
         c = default_window(n)

@@ -20,7 +20,8 @@ from ..field import FR, batch_inv
 from .bn254 import (
     G1_GEN, G2_GEN, g2_mul, g1_to_bytes, g1_from_bytes, g2_to_bytes, g2_from_bytes,
 )
-from .pippenger import fixed_base_expand, msm
+from .pippenger import (
+    fixed_base_expand, msm, build_window_table, default_fixed_window)
 from .jpoints import points_to_device
 
 __all__ = ["Srs"]
@@ -38,6 +39,7 @@ class Srs:
         self.s_g2 = s_g2
         self._g_dev = None
         self._lag_dev = None
+        self._tables = {}           # basis -> WindowTable (merged-window MSM)
 
     # ---- generation ------------------------------------------------------
     @classmethod
@@ -80,11 +82,30 @@ class Srs:
 
     # ---- commitments -----------------------------------------------------
     MAX_BATCH = 2  # commitments per device launch (compile + HBM bounds)
+    # below this row count the merged-window table costs more than it saves
+    # (and CPU test circuits stay on the per-window path)
+    FIXED_MIN_N = 4096
 
-    def _msm_chunked(self, rows, pdev):
+    def window_table(self, basis: str):
+        """Cached merged-window table (see pippenger.build_window_table) for
+        one of the two fixed SRS point sets; None below FIXED_MIN_N."""
+        if self.n < self.FIXED_MIN_N:
+            return None
+        if basis not in self._tables:
+            pdev = self.g_lagrange_dev() if basis == "lagrange" else self.g_dev()
+            c = default_fixed_window(self.n)
+            self._tables[basis] = build_window_table(pdev, c)
+        return self._tables[basis]
+
+    def _pdev(self, basis: str):
+        return self.g_lagrange_dev() if basis == "lagrange" else self.g_dev()
+
+    def _msm_chunked(self, rows, basis: str):
+        table = self.window_table(basis)
+        pdev = None if table is not None else self._pdev(basis)
         out = []
         for i in range(0, len(rows), self.MAX_BATCH):
-            out.extend(msm(rows[i : i + self.MAX_BATCH], pdev))
+            out.extend(msm(rows[i : i + self.MAX_BATCH], pdev, table=table))
         return out
 
     def commit_lagrange(self, values):
@@ -92,7 +113,7 @@ class Srs:
         (hiding comes from randomized rows, as in halo2)."""
         single = not isinstance(values[0], (list, tuple, np.ndarray))
         rows = [values] if single else list(values)
-        out = self._msm_chunked(rows, self.g_lagrange_dev())
+        out = self._msm_chunked(rows, "lagrange")
         return out[0] if single else out
 
     def commit(self, coeffs):
@@ -101,18 +122,18 @@ class Srs:
         rows = [coeffs] if single else list(coeffs)
         n = self.n
         padded = [list(r) + [0] * (n - len(r)) for r in rows]
-        out = self._msm_chunked(padded, self.g_dev())
+        out = self._msm_chunked(padded, "monomial")
         return out[0] if single else out
 
     # ---- device-resident commitment paths ---------------------------------
     # Scalars that already live on the device in Montgomery limb form (the
     # prover's Lagrange/coefficient stacks) commit without a host round trip:
     # demont on device, feed the Pippenger pipeline directly.
-    def _msm_dev(self, stack, pdev):
+    def _msm_dev(self, stack, basis: str):
         import jax.numpy as jnp
 
         from ..field import jfr
-        from .pippenger import msm_pippenger_host, default_window
+        from .pippenger import msm_pippenger_host, msm_fixed_host, default_window
 
         if stack.ndim == 2:
             stack = stack[None]
@@ -124,12 +145,17 @@ class Srs:
         if b_pad > b:
             sl = jnp.concatenate(
                 [sl, jnp.zeros((b_pad - b,) + sl.shape[1:], sl.dtype)], axis=0)
-        px, py, pvalid = pdev
+        table = self.window_table(basis)
         out = []
         for i in range(0, b_pad, self.MAX_BATCH):
-            res = msm_pippenger_host(
-                sl[i : i + self.MAX_BATCH], jnp.asarray(px), jnp.asarray(py),
-                jnp.asarray(pvalid), c=default_window(self.n))
+            if table is not None:
+                res = msm_fixed_host(sl[i : i + self.MAX_BATCH], table)
+            else:
+                px, py, pvalid = self._pdev(basis)
+                res = msm_pippenger_host(
+                    sl[i : i + self.MAX_BATCH], jnp.asarray(px),
+                    jnp.asarray(py), jnp.asarray(pvalid),
+                    c=default_window(self.n))
             out.extend(res)
         return out[:b]
 
@@ -137,13 +163,13 @@ class Srs:
         """stack: device mont limbs [B, n, 16] (or [n, 16]) of Lagrange
         values -> list of B affine host points."""
         single = stack.ndim == 2
-        out = self._msm_dev(stack, self.g_lagrange_dev())
+        out = self._msm_dev(stack, "lagrange")
         return out[0] if single else out
 
     def commit_dev(self, stack):
         """stack: device mont limbs [B, n, 16] coefficient-form."""
         single = stack.ndim == 2
-        out = self._msm_dev(stack, self.g_dev())
+        out = self._msm_dev(stack, "monomial")
         return out[0] if single else out
 
     # ---- serialization ----------------------------------------------------
