@@ -71,7 +71,8 @@ def bench_msm(cpu_fallback: bool = False):
 
     from zerog_tpu.field import FR
     from zerog_tpu.curve import bn254 as c, points_to_device, fixed_base_expand
-    from zerog_tpu.curve.pippenger import msm
+    from zerog_tpu.curve.pippenger import (
+        msm, build_window_table, default_fixed_window)
     from zerog_tpu.poly import NttPlan
     from zerog_tpu.field import to_limbs
 
@@ -93,18 +94,49 @@ def bench_msm(cpu_fallback: bool = False):
     scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
                for _ in range(batch)]
 
+    # Headline: the merged-window fixed-base path — what Srs.commit* actually
+    # runs (the bases are fixed SRS powers; the table is built once per SRS
+    # and amortized over the ~40 commitments of every proof). On the CPU
+    # fallback skip it (XLA:CPU handles the big bucket scatter poorly —
+    # measured 35 s/MSM at 2^12 — and the fallback's one job is landing the
+    # JSON line inside the driver budget) and report the generic path.
+    table = None
+    table_s = 0.0
+    if not cpu_fallback:
+        t0 = time.time()
+        table = build_window_table(pdev, default_fixed_window(n))
+        table_s = time.time() - t0
+        print(f"window table build (c={table.c}): {table_s:.1f}s",
+              file=sys.stderr)
+
+        t0 = time.time()
+        out = msm(scalars, table=table)
+        print(f"msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            out = msm(scalars, table=table)
+        per_msm = (time.time() - t0) / (reps * batch)
+        pps = n / per_msm
+        print(f"msm fixed-base: {per_msm*1e3:.1f} ms per {n}-point MSM "
+              f"-> {pps:,.0f} points/s", file=sys.stderr)
+
+    # The generic (per-window) path for arbitrary bases — the headline on
+    # the CPU fallback, a diagnostic alongside the fixed path on the chip.
     t0 = time.time()
     out = msm(scalars, pdev)
-    print(f"msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-
+    print(f"msm generic compile+first run: {time.time()-t0:.1f}s",
+          file=sys.stderr)
     reps = 3
     t0 = time.time()
     for _ in range(reps):
         out = msm(scalars, pdev)
-    per_msm = (time.time() - t0) / (reps * batch)
-    pps = n / per_msm
-    print(f"msm: {per_msm*1e3:.1f} ms per {n}-point MSM -> {pps:,.0f} points/s",
-          file=sys.stderr)
+    per_generic = (time.time() - t0) / (reps * batch)
+    print(f"msm generic: {per_generic*1e3:.1f} ms per {n}-point MSM "
+          f"-> {n/per_generic:,.0f} points/s", file=sys.stderr)
+    if cpu_fallback:
+        pps = n / per_generic
 
     # NTT diagnostic
     plan = NttPlan(16)
@@ -119,7 +151,11 @@ def bench_msm(cpu_fallback: bool = False):
     bflies = (1 << 15) * 16
     print(f"ntt 2^16: {ntt_s*1e3:.1f} ms -> {bflies/ntt_s:,.0f} butterflies/s",
           file=sys.stderr)
-    return pps, bflies / ntt_s
+    extra = {"msm_generic_points_per_s": round(n / per_generic, 1)}
+    if table is not None:
+        extra["msm_table_build_s"] = round(table_s, 2)
+        extra["msm_window_c"] = table.c
+    return pps, bflies / ntt_s, extra
 
 
 _PIPELINES = {
@@ -195,8 +231,8 @@ def bench_proof_pipeline(tag: str):
 
 def main():
     backend = _ensure_backend()
-    pps, bps = bench_msm(cpu_fallback=backend == "cpu-fallback")
-    extra = {"backend": backend}
+    pps, bps, msm_extra = bench_msm(cpu_fallback=backend == "cpu-fallback")
+    extra = {"backend": backend, **msm_extra}
     if backend == "cpu-fallback":
         # k=14/15 proof pipelines don't fit a CPU budget; MSM/NTT only.
         os.environ.setdefault("ZEROG_BENCH_FAST", "1")
