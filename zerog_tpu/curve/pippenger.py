@@ -387,27 +387,27 @@ def _pipv2_scatter(pieces, pb, pr, p_max: int, c: int):
 
 @jax.jit
 def _pipv2_sum_rows(xs):
-    """Fold [L, G, W] jac rows into [G, W] with a log-depth pairwise tree
-    (same add count as a linear scan, log L sequential steps instead of L).
+    """Fold [L, G, W] jac rows into [G, W] with a linear lax.scan.
 
-    Incomplete adds are safe here: operands are sums of DISJOINT bucket
-    subsets, so structural equality only occurs between two empty subsets —
-    both infinity, which the add's identity lanes handle; a value collision
-    between non-empty subsets has probability ~2^-254."""
-    rows = xs
-    length = rows[0].shape[0]
-    while length > 1:
-        half = length // 2
-        summed = jac_add_incomplete(
-            tuple(comp[:half] for comp in rows),
-            tuple(comp[half:2 * half] for comp in rows),
-        )
-        rows = tuple(
-            jnp.concatenate([s, comp[2 * half:]], axis=0)
-            for s, comp in zip(summed, rows)
-        )
-        length = half + (length - 2 * half)
-    return tuple(comp[0] for comp in rows)
+    Compile cost on the axon runtime is ~2.7 s per field-mul traced into the
+    program body (measured; see ARCHITECTURE.md roofline), so a scan whose
+    body is ONE incomplete add (~16 muls, ~45 s compile) beats the former
+    unrolled log-depth tree (~110 traced muls, ~280 s compile per shape); at
+    these lane widths ([G, W] ~ a few hundred lanes) the L sequential steps
+    cost only ~ms of runtime.
+
+    Incomplete adds are safe here: the carry after step i is the sum of rows
+    < i, a bucket subset disjoint from row i; structural equality only occurs
+    between two empty subsets — both infinity, which the add's identity lanes
+    handle; a value collision between non-empty subsets has probability
+    ~2^-254."""
+    init = jac_infinity(xs[0].shape[1:3])
+
+    def body(carry, row):
+        return jac_add_incomplete(carry, row), None
+
+    out, _ = jax.lax.scan(body, init, xs)
+    return out
 
 
 @jax.jit
@@ -547,17 +547,21 @@ _FQ_ONE = to_limbs(1, FQ, mont=True)
 
 
 def _fq_prefix_products(flat):
-    """[M, 16] FQ mont limbs -> inclusive prefix products (log-depth)."""
+    """[M, 16] FQ mont limbs -> inclusive prefix products (log-depth; the
+    doubling steps run under lax.scan so only ONE field mul is traced —
+    compile is ~2.7 s per traced mul on the axon runtime)."""
     m = flat.shape[0]
     steps = max(1, (m - 1).bit_length())
-    out = flat
     idx = jnp.arange(m)
-    for s in range(steps):
-        shift = 1 << s
+    one = jnp.broadcast_to(jnp.asarray(_FQ_ONE), flat.shape)
+    shifts = jnp.asarray([1 << s for s in range(steps)], dtype=jnp.int32)
+
+    def body(out, shift):
         rolled = jnp.roll(out, shift, axis=0)
-        mult = jnp.where((idx >= shift)[:, None], rolled,
-                         jnp.broadcast_to(jnp.asarray(_FQ_ONE), out.shape))
-        out = _fq.mul(out, mult)
+        mult = jnp.where((idx >= shift)[:, None], rolled, one)
+        return _fq.mul(out, mult), None
+
+    out, _ = jax.lax.scan(body, flat, shifts)
     return out
 
 
@@ -584,10 +588,9 @@ def _fq_batch_inv(vals):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _double_n(p, n: int):
-    """n unrolled Jacobian doublings (n <= window width, a tiny program)."""
-    for _ in range(n):
-        p = jac_double(p)
-    return p
+    """n Jacobian doublings under fori_loop (one traced double — unrolling
+    n ~ 13 doublings cost ~300 s of compile at ~2.7 s per traced field-mul)."""
+    return jax.lax.fori_loop(0, n, lambda _, q: jac_double(q), p)
 
 
 class WindowTable:
@@ -832,10 +835,9 @@ def fixed_base_expand(base, scalars):
         doublings.append(pt)
         pt = g1_double(pt)
     dx, dy, _ = points_to_device(doublings)
-    bits = np.zeros((SCALAR_BITS, n), dtype=bool)
-    for i, s in enumerate(scalars):
-        for j in range(SCALAR_BITS):
-            if (s >> j) & 1:
-                bits[j, i] = True
+    raw = b"".join(s.to_bytes(32, "little") for s in scalars)
+    bytes_arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, 32)
+    bits = np.unpackbits(bytes_arr, axis=1, bitorder="little")[:, :SCALAR_BITS]
+    bits = np.ascontiguousarray(bits.T).astype(bool)  # [SCALAR_BITS, n]
     acc = _expand_body(jnp.asarray(bits), jnp.asarray(dx), jnp.asarray(dy))
     return points_from_device(acc)
