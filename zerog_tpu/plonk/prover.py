@@ -19,6 +19,7 @@ Phases:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import time
@@ -185,6 +186,9 @@ class _EnvOps:
     def add(self, a, b):
         return self.f.add(a, b)
 
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
     def mul(self, a, b):
         return self.f.mul(a, b)
 
@@ -199,29 +203,92 @@ class _EnvOps:
         return self.env["inst"][column.index]
 
 
-def _quotient_budget() -> int:
-    """Per-chunk term budget (1 unit ~= one 600-HLO field mul). Large chunks
-    amortize dispatch latency on TPU; XLA:CPU's LLVM backend aborts on jumbo
-    fused programs, so tests/CPU use small ones."""
-    import os as _os
+class _VmPrims:
+    """Shape-generic jitted primitives for the expression-VM quotient path:
+    ~6 one-field-op programs reused for EVERY circuit, domain size and term,
+    so quotient compile cost is circuit-independent (the traced-chunk path
+    costs ~2.7 s of axon compile per field-mul traced, which at MNIST scale
+    means tens of minutes of per-model compiles)."""
 
-    if _os.environ.get("ZEROG_QUOTIENT_BUDGET"):
-        return int(_os.environ["ZEROG_QUOTIENT_BUDGET"])
+    def __init__(self):
+        f = jfr()
+        self.mul = jax.jit(f.mul)
+        self.add = jax.jit(f.add)
+        self.sub = jax.jit(f.sub)
+        # h*y + t — the per-term fold, fused
+        self.fold = jax.jit(lambda h, y, t: f.add(f.mul(h, y), t))
+        # rotation shift as a TRACED argument: one compiled roll serves every
+        # rotation that appears in the constraint system
+        self.roll = jax.jit(lambda a, s: jnp.roll(a, s, axis=-2))
+
+
+@functools.cache
+def _vm_prims() -> _VmPrims:
+    return _VmPrims()
+
+
+class _VmEnvOps(_EnvOps):
+    """_EnvOps variant dispatching every field op through the jitted VM
+    primitives (op-by-op device launches instead of traced mega-programs)."""
+
+    def __init__(self, env, domain):
+        super().__init__(env, domain)
+        self.prims = _vm_prims()
+        self._scale = domain.extended_n // domain.n
+        self._consts: dict[int, jnp.ndarray] = {}
+
+    def rot(self, arr, rotation):
+        if rotation == 0:
+            return arr
+        return self.prims.roll(arr, jnp.int32(-rotation * self._scale))
+
+    def constant(self, c):
+        v = self._consts.get(c)
+        if v is None:
+            v = self._consts[c] = jnp.asarray(to_limbs(c % FR.p, FR, mont=True))
+        return v
+
+    def add(self, a, b):
+        return self.prims.add(a, b)
+
+    def sub(self, a, b):
+        return self.prims.sub(a, b)
+
+    def mul(self, a, b):
+        return self.prims.mul(a, b)
+
+    def scale(self, a, s):
+        return self.prims.mul(a, self.constant(s))
+
+
+def _quotient_mode() -> str:
+    """Quotient evaluation strategy:
+
+    - "vm" (default): dispatch each field op through ~6 shape-generic jitted
+      primitives. Compile cost is circuit-INDEPENDENT (~30 s total, paid once
+      per domain shape); each op is one device launch.
+    - "chunk": trace whole term groups into fused jitted programs. Minimal
+      launch count and HBM traffic, but compile cost scales with circuit
+      size (~2.7 s per traced field-mul on the axon runtime — tens of
+      minutes for the MNIST circuits, per model, per process cache miss).
+    """
+    return os.environ.get("ZEROG_QUOTIENT_MODE", "vm")
+
+
+def _quotient_budget() -> int:
+    """Per-chunk term budget for "chunk" mode (1 unit ~= one 600-HLO field
+    mul). Large chunks amortize dispatch latency on TPU; XLA:CPU's LLVM
+    backend aborts on jumbo fused programs, so tests/CPU use small ones."""
+    if os.environ.get("ZEROG_QUOTIENT_BUDGET"):
+        return int(os.environ["ZEROG_QUOTIENT_BUDGET"])
     return 80 if jax.default_backend() != "cpu" else 12
 
 
-def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
-    if budget is None:
-        budget = _quotient_budget()
-    """Build jitted chunk programs that evaluate the quotient constraint terms
-    on the extended domain and fold them with y. Term order mirrors the
-    verifier exactly. Each chunk stays small enough to compile quickly on the
-    device runtime; dispatch count drops from one-per-field-op to
-    one-per-chunk."""
-    p = FR.p
-    f = jfr()
-
-    builders = []  # (cost_estimate, fn(ops, env) -> term array)
+def _build_quotient_builders(cs, bf):
+    """(cost, fn(ops, env) -> term array | list of terms) for every quotient
+    constraint term, in exact verifier order. All field math goes through
+    `ops` so the same builders serve both the traced-chunk and the VM path."""
+    builders = []  # (cost_estimate, fn)
 
     for gname, polys in cs.gates:
         for poly in polys:
@@ -237,20 +304,20 @@ def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
 
         def perm_l0(ops, env):
             one = jnp.asarray(one_limbs)
-            return f.mul(env["l0"], f.sub(one, env["perm_z"][0]))
+            return ops.mul(env["l0"], ops.sub(one, env["perm_z"][0]))
 
         builders.append((3, perm_l0))
 
         def perm_llast(ops, env):
             zl = env["perm_z"][num_sets - 1]
-            return f.mul(env["l_last"], f.sub(f.mul(zl, zl), zl))
+            return ops.mul(env["l_last"], ops.sub(ops.mul(zl, zl), zl))
 
         builders.append((3, perm_llast))
 
         for i in range(1, num_sets):
             def perm_chain(ops, env, i=i):
                 prev = ops.rot(env["perm_z"][i - 1], -(bf + 1))
-                return f.mul(env["l0"], f.sub(env["perm_z"][i], prev))
+                return ops.mul(env["l0"], ops.sub(env["perm_z"][i], prev))
 
             builders.append((3, perm_chain))
 
@@ -264,14 +331,17 @@ def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
                 for j, col in enumerate(cols, start=start):
                     ve = ops.col(col)
                     sig = env["sigma"][j]
-                    left = f.mul(left, f.add(f.add(ve, f.mul(env["beta"], sig)),
-                                             env["gamma"]))
-                    right = f.mul(
+                    left = ops.mul(
+                        left,
+                        ops.add(ops.add(ve, ops.mul(env["beta"], sig)),
+                                env["gamma"]))
+                    right = ops.mul(
                         right,
-                        f.add(f.add(ve, f.mul(env["beta_delta"][j], env["x_ext"])),
-                              env["gamma"]),
+                        ops.add(ops.add(ve, ops.mul(env["beta_delta"][j],
+                                                    env["x_ext"])),
+                                env["gamma"]),
                     )
-                return f.mul(env["l_active"], f.sub(left, right))
+                return ops.mul(env["l_active"], ops.sub(left, right))
 
             builders.append((4 + 4 * len(cols), perm_prod))
 
@@ -293,25 +363,57 @@ def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
                     v = evaluate(e, ops)
                     if v.ndim == 1:
                         v = jnp.broadcast_to(v, a_perm.shape)
-                    acc = v if acc is None else f.add(f.mul(acc, env["theta"]), v)
+                    acc = v if acc is None else ops.add(ops.mul(acc, env["theta"]), v)
                 return acc
 
             a_comp = fold([e for e, _ in pairs])
             s_comp = fold([t for _, t in pairs])
-            t1 = f.mul(env["l0"], f.sub(one, z))
-            t2 = f.mul(env["l_last"], f.sub(f.mul(z, z), z))
-            lhs = f.mul(z_next, f.mul(f.add(a_perm, env["beta"]),
-                                      f.add(s_perm, env["gamma"])))
-            rhs = f.mul(z, f.mul(f.add(a_comp, env["beta"]),
-                                 f.add(s_comp, env["gamma"])))
-            t3 = f.mul(env["l_active"], f.sub(lhs, rhs))
-            t4 = f.mul(env["l0"], f.sub(a_perm, s_perm))
+            t1 = ops.mul(env["l0"], ops.sub(one, z))
+            t2 = ops.mul(env["l_last"], ops.sub(ops.mul(z, z), z))
+            lhs = ops.mul(z_next, ops.mul(ops.add(a_perm, env["beta"]),
+                                          ops.add(s_perm, env["gamma"])))
+            rhs = ops.mul(z, ops.mul(ops.add(a_comp, env["beta"]),
+                                     ops.add(s_comp, env["gamma"])))
+            t3 = ops.mul(env["l_active"], ops.sub(lhs, rhs))
+            t4 = ops.mul(env["l0"], ops.sub(a_perm, s_perm))
             a_prev = ops.rot(a_perm, -1)
-            t5 = f.mul(env["l_active"],
-                       f.mul(f.sub(a_perm, s_perm), f.sub(a_perm, a_prev)))
+            t5 = ops.mul(env["l_active"],
+                         ops.mul(ops.sub(a_perm, s_perm),
+                                 ops.sub(a_perm, a_prev)))
             return [t1, t2, t3, t4, t5]
 
         builders.append((cost, lookup_terms))
+
+    return builders
+
+
+def _build_quotient_chunk_fns(cs, domain, bf, budget: int | None = None):
+    """Quotient evaluators: a list of callables (env, h) -> h, dispatched in
+    order. "vm" mode returns ONE callable running op-by-op through the shared
+    jitted primitives; "chunk" mode greedily packs terms into fused jitted
+    programs under the compile budget. Both produce identical values (term
+    order mirrors the verifier exactly)."""
+    if _quotient_mode() == "vm":
+        builders = _build_quotient_builders(cs, bf)
+
+        def run_vm(env, h):
+            ops = _VmEnvOps(env, domain)
+            prims = ops.prims
+            for _, fn in builders:
+                out = fn(ops, env)
+                terms = out if isinstance(out, list) else [out]
+                for t in terms:
+                    if t.ndim == 1:
+                        t = jnp.broadcast_to(t, h.shape)
+                    h = prims.fold(h, env["y"], t)
+            return h
+
+        return [run_vm]
+
+    if budget is None:
+        budget = _quotient_budget()
+    builders = _build_quotient_builders(cs, bf)
+    f = jfr()
 
     # greedy pack into chunks
     groups = []
@@ -364,18 +466,27 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     _last = [_t0]
 
     def _mark(name):
+        now = time.time()
         if timings is not None:
-            now = time.time()
             timings[name] = timings.get(name, 0.0) + (now - _last[0])
-            _last[0] = now
-        else:
-            _last[0] = time.time()
+        if os.environ.get("ZEROG_TRACE"):
+            import sys
+
+            print(f"[prover] {name}: {now - _last[0]:.1f}s", file=sys.stderr,
+                  flush=True)
+        _last[0] = now
 
     vk = pk.vk
     cs = vk.cs
     k = vk.k
     n = 1 << k
     domain = Domain(k, cs.degree())
+    if mesh is not None:
+        # route the quotient phase's NTTs through the four-step all_to_all
+        # decomposition (pointwise steps keep their row sharding)
+        from ..parallel.sharded_domain import ShardedDomain
+
+        domain = ShardedDomain(domain, mesh)
     usable = cs.usable_rows(n)
     bf = cs.blinding_factors()
     rng = Drbg(rng_seed)
@@ -397,10 +508,17 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     # ---- phase 1: witness + advice commitments ---------------------------
     cs2 = ConstraintSystem()
     config = circuit.configure(cs2)
-    assert cs2.num_advice == cs.num_advice and cs2.num_fixed == cs.num_fixed
+    assert cs2.num_advice == cs.num_advice
     asn = Assignment(cs2, n)
     circuit.synthesize(config, asn)
     asn.finalize_tables()
+    if cs.compression is not None:
+        # re-apply the keygen-recorded selector compression to the freshly
+        # synthesized fixed columns so they match vk.cs's layout
+        from .selectors import apply_to_fixed
+
+        asn.fixed = apply_to_fixed(cs.compression, asn.fixed, n)
+    assert len(asn.fixed) == cs.num_fixed
     advice = asn.advice
     for col in advice:
         for i in range(usable, n):
@@ -542,6 +660,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
 
         env = {key: _shard_rows(val) for key, val in env.items()}
 
+    _mark("quotient_ntts")
     chunk_fns = pk._cache.get("quotient_chunks")
     if chunk_fns is None:
         chunk_fns = _build_quotient_chunk_fns(cs, domain, bf)
@@ -554,6 +673,8 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         h_ext = jax.device_put(h_ext, shard_axis(mesh, 0, 2))
     for fn in chunk_fns:
         h_ext = fn(env, h_ext)
+    jax.block_until_ready(h_ext)
+    _mark("quotient_eval")
     h_ext = domain.divide_by_vanishing_poly(h_ext)
     if debug is not None:
         debug["h_ext"] = h_ext
