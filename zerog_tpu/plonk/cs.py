@@ -69,6 +69,9 @@ class ConstraintSystem:
         self.selector_fixed: set[int] = set()
         self.table_fixed: set[int] = set()
         self.constants_column: Column | None = None
+        # set by plonk.selectors.compress_selectors_pass at keygen; the
+        # prover re-applies it to freshly synthesized fixed columns
+        self.compression = None
 
     # ---- column allocation ----------------------------------------------
     def advice_column(self) -> Column:

@@ -158,3 +158,23 @@ def evaluate(e: Expr, ops: Any):
         return v
 
     return go(e)
+
+
+def canonical_bytes(e: Expr) -> bytes:
+    """Stable byte encoding of an expression tree for key digests (unlike
+    repr(), immune to dataclass/__repr__ formatting changes)."""
+    if isinstance(e, Constant):
+        return b"C" + str(e.value).encode()
+    if isinstance(e, FixedQuery):
+        return b"F%d:%d" % (e.column, e.rotation)
+    if isinstance(e, AdviceQuery):
+        return b"A%d:%d" % (e.column, e.rotation)
+    if isinstance(e, InstanceQuery):
+        return b"I%d:%d" % (e.column, e.rotation)
+    if isinstance(e, Sum):
+        return b"S(" + canonical_bytes(e.a) + b"," + canonical_bytes(e.b) + b")"
+    if isinstance(e, Product):
+        return b"P(" + canonical_bytes(e.a) + b"," + canonical_bytes(e.b) + b")"
+    if isinstance(e, Scaled):
+        return b"X(" + canonical_bytes(e.a) + b"," + str(e.scalar).encode() + b")"
+    raise TypeError(e)

@@ -33,14 +33,24 @@ class VerifyingKey:
         self.transcript_repr = self._compute_repr()
 
     def _compute_repr(self) -> int:
+        from .expression import canonical_bytes
+
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
         h.update(self.k.to_bytes(4, "little"))
         h.update(self.cs.num_advice.to_bytes(4, "little"))
         h.update(self.cs.num_fixed.to_bytes(4, "little"))
         h.update(self.cs.num_instance.to_bytes(4, "little"))
-        h.update(repr(self.cs.gates).encode())
-        h.update(repr(self.cs.lookups).encode())
-        h.update(repr([(c.kind, c.index) for c in self.cs.permutation_columns]).encode())
+        # canonical CS serialization (stable under repr/dataclass changes)
+        for name, polys in self.cs.gates:
+            h.update(b"G" + name.encode())
+            for poly in polys:
+                h.update(canonical_bytes(poly))
+        for name, pairs in self.cs.lookups:
+            h.update(b"L" + name.encode())
+            for inp, tab in pairs:
+                h.update(canonical_bytes(inp) + b"|" + canonical_bytes(tab))
+        for c in self.cs.permutation_columns:
+            h.update(b"M" + c.kind.encode() + str(c.index).encode())
         from ..curve.bn254 import g1_to_bytes
 
         for pt in self.fixed_commitments + self.permutation_commitments:
@@ -118,15 +128,24 @@ def build_sigmas(cs: ConstraintSystem, assignment: Assignment, n: int):
     return sigmas
 
 
-def keygen(circuit, k: int, srs) -> ProvingKey:
+def keygen(circuit, k: int, srs, compress_selectors: bool = True) -> ProvingKey:
     """Generate pk (containing vk). `circuit` must carry an input-independent
-    witness (e.g. the dummy zero image, as in the reference)."""
+    witness (e.g. the dummy zero image, as in the reference).
+
+    `compress_selectors` packs boolean simple-selector columns into combined
+    fixed columns exactly like halo2's keygen_vk does (fewer fixed
+    commitments/evals, smaller proofs and verifier gas; see plonk/selectors.py)."""
     cs = ConstraintSystem()
     config = circuit.configure(cs)
     n = 1 << k
     assignment = Assignment(cs, n)
     circuit.synthesize(config, assignment)
     assignment.finalize_tables()
+
+    if compress_selectors:
+        from .selectors import compress_selectors_pass
+
+        compress_selectors_pass(cs, assignment)
 
     sigmas = build_sigmas(cs, assignment, n)
 
