@@ -250,21 +250,36 @@ def _prep_core(ds, px, py, pvalid, r_rows: int, nb: int):
     """Shared level-1 prep from a digit matrix: mask invalid lanes to bucket
     0, pad the point axis to an r_rows multiple, sort each lane's digits,
     gather points into column-major scan order, and build the flush-scan
-    bookkeeping. ds: int32[G, M] digits; points [M, 16] affine mont."""
+    bookkeeping. ds: int32[G, M] digits; points [M, 16] affine mont shared by
+    every lane group, or [G, M, 16] (+ pvalid [G, M]) per-group (the
+    mesh-sharded path, where each group holds a different point shard)."""
+    grouped = px.ndim == 3
     m0 = ds.shape[1]
-    ds = jnp.where(pvalid[None, :], ds, 0)          # invalid -> bucket 0
+    pv_b = pvalid if grouped else pvalid[None, :]
+    ds = jnp.where(pv_b, ds, 0)                     # invalid -> bucket 0
     m = ((m0 + r_rows - 1) // r_rows) * r_rows
     if m > m0:
         pad = m - m0
         ds = jnp.pad(ds, ((0, 0), (0, pad)))
-        pvalid = jnp.pad(pvalid, (0, pad))
-        px = jnp.pad(px, ((0, pad), (0, 0)))
-        py = jnp.pad(py, ((0, pad), (0, 0)))
+        if grouped:
+            pvalid = jnp.pad(pvalid, ((0, 0), (0, pad)))
+            px = jnp.pad(px, ((0, 0), (0, pad), (0, 0)))
+            py = jnp.pad(py, ((0, 0), (0, pad), (0, 0)))
+        else:
+            pvalid = jnp.pad(pvalid, (0, pad))
+            px = jnp.pad(px, ((0, pad), (0, 0)))
+            py = jnp.pad(py, ((0, pad), (0, 0)))
     order = jnp.argsort(ds, axis=-1)
     ds = jnp.take_along_axis(ds, order, axis=-1)
-    sx = _colmaj(px[order], r_rows)                 # [R, G, C, 16]
-    sy = _colmaj(py[order], r_rows)
-    sval = _colmaj(pvalid[order], r_rows)
+    if grouped:
+        gx = jnp.take_along_axis(px, order[..., None], axis=1)
+        gy = jnp.take_along_axis(py, order[..., None], axis=1)
+        gv = jnp.take_along_axis(pvalid, order, axis=1)
+    else:
+        gx, gy, gv = px[order], py[order], pvalid[order]
+    sx = _colmaj(gx, r_rows)                        # [R, G, C, 16]
+    sy = _colmaj(gy, r_rows)
+    sval = _colmaj(gv, r_rows)
     info = _stream_info(ds, r_rows, nb)
     return (sx, sy, sval) + info
 

@@ -23,13 +23,17 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..curve.bn254 import g1_add, g1_mul
 from ..curve.jpoints import jac_add, jac_roll, jac_select
-from ..curve.pippenger import _digits, _one_window
+from ..curve.pippenger import (
+    _bucket_pipeline, _digits, _digits_balanced, _one_window, _pip_r_rows,
+    _prep_core, _window_layout, WindowTable,
+)
 from .mesh import AXIS
 
-__all__ = ["sharded_msm_device"]
+__all__ = ["sharded_msm_device", "ShardedWindowTable", "msm_fixed_sharded"]
 
 
 def _fold_points(points, m: int):
@@ -106,3 +110,108 @@ def sharded_msm_device(mesh, scalar_limbs, px, py, pvalid, c: int,
     prog = _msm_program(mesh, c)
     sums = prog(digits, px, py, pvalid)  # comps [W, B, 16]
     return tuple(jnp.swapaxes(comp, 0, 1) for comp in sums)
+
+
+# ---- sharded merged-window fixed-base MSM (the production prover path) ------
+#
+# The single-chip fixed-base pipeline (pippenger.py: merged-window table,
+# flush-scan bucket accumulation, marginal-split weighted fold) is linear in
+# the point set, so the mesh version simply partitions the TABLE POINTS:
+# device d runs the complete bucket pipeline over its point shard (all W
+# windows of points i in d's block) producing per-(device, batch) weighted
+# accumulators; the host sums the D partial results per batch row with ~D*B
+# tiny point adds. No collectives are needed until that final host fold —
+# embarrassingly parallel over ICI-free shards, realized as ONE set of GSPMD
+# sharding annotations over the existing stage programs (the per-stage launch
+# structure that keeps axon worker programs small is preserved verbatim).
+
+
+class ShardedWindowTable:
+    """A merged-window table re-laid out as [D, W*Nloc, 16] (device d's rows
+    j*Nloc + i_loc hold 2^{offset_j} * P_{d*Nloc + i_loc}), sharded over the
+    mesh axis. Build from a single-chip :class:`WindowTable` whose point
+    count is a multiple of the mesh size."""
+
+    __slots__ = ("mesh", "c", "n", "n_local", "d", "w", "tx", "ty", "tvalid")
+
+    def __init__(self, mesh, table: WindowTable):
+        d = mesh.devices.size
+        n = table.n
+        if n % d:
+            raise ValueError(
+                f"table point count {n} not divisible by mesh size {d}; "
+                "pad the point set before building the table")
+        sizes, _ = _window_layout(table.c)
+        w = len(sizes)
+        nloc = n // d
+        self.mesh, self.c, self.n, self.n_local, self.d, self.w = (
+            mesh, table.c, n, nloc, d, w)
+        shard = NamedSharding(mesh, P(AXIS, None, None))
+
+        def relay(a, trailing):
+            a = jnp.asarray(a).reshape((w, d, nloc) + trailing)
+            a = jnp.moveaxis(a, 1, 0).reshape((d, w * nloc) + trailing)
+            return jax.device_put(a, shard)
+
+        self.tx = relay(table.tx, (16,))
+        self.ty = relay(table.ty, (16,))
+        self.tvalid = jax.device_put(
+            jnp.asarray(table.tvalid).reshape(w, d, nloc)
+            .transpose(1, 0, 2).reshape(d, w * nloc),
+            NamedSharding(mesh, P(AXIS, None)))
+
+
+def _make_prep_sharded(mesh):
+    group_shard = NamedSharding(mesh, P(AXIS, None))
+
+    @functools.partial(jax.jit, static_argnames=("c", "r_rows", "d"))
+    def prep(sl, tx, ty, tv, c: int, r_rows: int, d: int):
+        """sl: uint32[B, N, 16] replicated scalars; t*: [D, W*Nloc(, 16)]
+        sharded table. Groups are (device, batch) pairs g = dd*B + bb."""
+        digits = _digits_balanced(sl, c)            # [W, B, N]
+        w, b, n = digits.shape
+        nloc = n // d
+        ds = (digits.reshape(w, b, d, nloc)
+              .transpose(2, 1, 0, 3).reshape(d * b, w * nloc))
+        ds = jax.lax.with_sharding_constraint(ds, group_shard)
+
+        def expand(a):
+            out = jnp.broadcast_to(a[:, None], (d, b) + a.shape[1:])
+            return out.reshape((d * b,) + a.shape[1:])
+
+        return _prep_core(ds, expand(tx), expand(ty), expand(tv),
+                          r_rows, 1 << c)
+
+    return prep
+
+
+_prep_sharded_cache: dict = {}
+
+
+def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
+    """Point-sharded merged-window fixed-base MSM.
+
+    sl: uint32[B, N, 16] canonical scalar limbs (replicated; N = table point
+    count). Returns [B] affine host points, identical to the single-chip
+    `msm_fixed_host` result (exact group arithmetic; tested byte-identical).
+    """
+    b = int(sl.shape[0])
+    m_local = stable.w * stable.n_local
+    r_rows = _pip_r_rows(m_local)
+    prep = _prep_sharded_cache.get(mesh)
+    if prep is None:
+        prep = _prep_sharded_cache[mesh] = _make_prep_sharded(mesh)
+    out = prep(jnp.asarray(sl), stable.tx, stable.ty, stable.tvalid,
+               c=stable.c, r_rows=r_rows, d=stable.d)
+    host, neg_k, lo_bits = _bucket_pipeline(out, r_rows, stable.c)
+    results = []
+    for bb in range(b):
+        acc = None
+        for dd in range(stable.d):
+            g = dd * b + bb
+            w_hi = g1_add(host[2 * g], neg_k)
+            w_lo = g1_add(host[2 * g + 1], neg_k)
+            part = g1_add(g1_mul(w_hi, 1 << lo_bits), w_lo)
+            acc = part if acc is None else g1_add(acc, part)
+        results.append(acc)
+    return results
