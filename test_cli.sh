@@ -10,6 +10,12 @@ MODELS=${MODELS:-/root/reference/models}
 IMG=${IMG:-/root/reference/benches/example_image_7.png}
 MNIST_PNG=${MNIST_PNG:-data/MNIST/png}
 
+# Each CLI invocation spawns its own in-process dev node; a shared state file
+# makes deploy-evm-verifier and submit-proof hit the SAME chain state (the
+# reference's flow against a long-running Anvil, test_cli.sh:40-83).
+export ZEROG_DEV_NODE_STATE=test_data/devnode_state.json
+rm -f "$ZEROG_DEV_NODE_STATE"
+
 $ZERO_G --help
 
 mkdir -p test_data
@@ -49,10 +55,12 @@ $ZERO_G dry-run-evm-verifier "$MODELS/model_28input_256entry_1hash_1bpi.hdf5" "$
 
 echo ""
 echo "==== Running deploy-evm-verifier"
-$ZERO_G deploy-evm-verifier \
+DEPLOY_OUT=$($ZERO_G deploy-evm-verifier \
     --srs-path test_data/srs_14 \
     --vk-path test_data/vk.npz \
-    --circuit-params-path test_data/circuit_params.json
+    --circuit-params-path test_data/circuit_params.json | tee /dev/stderr)
+VERIFIER_ADDR=$(echo "$DEPLOY_OUT" | grep -oE '0x[0-9a-fA-F]{40}' | tail -1)
+test -n "$VERIFIER_ADDR" || { echo "no deploy address captured"; exit 1; }
 
 echo ""
 echo "==== Running proof"
@@ -72,8 +80,15 @@ $ZERO_G verify \
 
 echo ""
 echo "==== Running submit-proof"
-# With the in-process dev node, account 0's first deploy always lands at the
-# same address (same convention as the reference's Anvil note).
-$ZERO_G submit-proof \
+# Submit against the address captured from deploy (lands at the Anvil
+# account-0 first-deploy address, 0x5fbd...0aa3, same convention as the
+# reference). The shared dev-node state file makes this a REAL on-chain
+# verification: the node rejects calls to code-less accounts, and we assert
+# the receipt burned verifier-scale gas, so a vacuous success is impossible.
+SUBMIT_OUT=$($ZERO_G submit-proof \
     --proof-path test_data/proof.json \
-    0x5fbdb2315678afecb367f032d93f642f64180aa3
+    "$VERIFIER_ADDR" | tee /dev/stderr)
+GAS=$(echo "$SUBMIT_OUT" | grep -oE 'Gas used: [0-9]+' | grep -oE '[0-9]+')
+test -n "$GAS" && test "$GAS" -gt 100000 || {
+    echo "submit-proof gas '$GAS' is not verifier-scale (> 100000)"; exit 1; }
+echo "submit-proof verified on-chain with gas $GAS"

@@ -188,3 +188,50 @@ def test_client_deploy_and_call_roundtrip():
         assert int.from_bytes(res.output, "big") == 42
     finally:
         client.close()
+
+
+def test_local_node_state_persistence(tmp_path):
+    """A contract deployed by one LocalNode process is callable from a fresh
+    node sharing the state file (the test_cli.sh deploy -> submit flow), and
+    calls to code-less accounts are rejected rather than trivially
+    succeeding."""
+    import pytest
+
+    from zerog_tpu.eth.client import DEV_PRIVATE_KEY, LocalNode
+    from zerog_tpu.eth.rlp import rlp_encode
+    from zerog_tpu.eth.secp256k1 import address_of_key, sign
+    from zerog_tpu.transcript.keccak import keccak256
+
+    state = str(tmp_path / "devnode.json")
+    sender_key = DEV_PRIVATE_KEY
+    sender = address_of_key(sender_key)
+
+    def send(node, to, data):
+        nonce = node.evm.nonces.get(sender, 0)
+        fields = [nonce, 10**9, 1_000_000, to or b"", 0, data]
+        sighash = keccak256(rlp_encode(fields + [node.chain_id, b"", b""]))
+        parity, r, s = sign(sighash, sender_key)
+        v = 35 + 2 * node.chain_id + parity
+        raw = rlp_encode(fields + [v, r, s])
+        txh = node._send_raw(raw)
+        return node.receipts[txh]
+
+    # initcode returning runtime 0x6001600055 (SSTORE(0, 1)) -> runtime code
+    runtime = bytes.fromhex("6001600055")
+    initcode = bytes.fromhex("600580600b6000396000f3") + runtime
+
+    node1 = LocalNode(state_path=state)
+    receipt = send(node1, None, initcode)
+    assert receipt["status"] == "0x1"
+    addr = bytes.fromhex(receipt["contractAddress"][2:])
+
+    # fresh node, same state file: the code must be there and callable
+    node2 = LocalNode(state_path=state)
+    assert node2.evm.code[addr] == runtime
+    receipt2 = send(node2, addr, b"")
+    assert receipt2["status"] == "0x1"
+    assert node2.evm.storage[addr][0] == 1
+
+    # a call into an address with NO code must be rejected, not succeed
+    with pytest.raises(ValueError, match="no contract code"):
+        send(node2, b"\xaa" * 20, b"")

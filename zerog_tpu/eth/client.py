@@ -29,14 +29,55 @@ LOCAL_CHAIN_ID = 31337
 
 
 class LocalNode:
-    """A dev JSON-RPC node backed by the local EVM executor."""
+    """A dev JSON-RPC node backed by the local EVM executor.
 
-    def __init__(self, chain_id: int = LOCAL_CHAIN_ID):
+    Unlike a long-running Anvil, the in-process node dies with the CLI
+    invocation that spawned it, so `state_path` (or the
+    ZEROG_DEV_NODE_STATE env var) persists world state (code, storage,
+    nonces, block height) to disk: a contract deployed by one CLI process is
+    callable from the next — matching the reference's test_cli.sh flow where
+    deploy-evm-verifier and submit-proof hit the same live Anvil
+    (/root/reference/test_cli.sh:40-83)."""
+
+    def __init__(self, chain_id: int = LOCAL_CHAIN_ID,
+                 state_path: str | None = None):
         self.chain_id = chain_id
         self.evm = Evm()
         self.receipts: dict[str, dict] = {}
         self.block = 0
         self._server = None
+        self.state_path = state_path or os.environ.get("ZEROG_DEV_NODE_STATE")
+        if self.state_path and os.path.exists(self.state_path):
+            self._load_state()
+
+    # -- state persistence ---------------------------------------------------
+
+    def _load_state(self):
+        with open(self.state_path) as f:
+            st = json.load(f)
+        self.block = st["block"]
+        self.evm.code = {bytes.fromhex(a): bytes.fromhex(c)
+                         for a, c in st["code"].items()}
+        self.evm.storage = {
+            bytes.fromhex(a): {int(k): int(v) for k, v in slots.items()}
+            for a, slots in st["storage"].items()
+        }
+        self.evm.nonces = {bytes.fromhex(a): n for a, n in st["nonces"].items()}
+
+    def _save_state(self):
+        if not self.state_path:
+            return
+        st = {
+            "block": self.block,
+            "code": {a.hex(): c.hex() for a, c in self.evm.code.items()},
+            "storage": {a.hex(): {str(k): str(v) for k, v in slots.items()}
+                        for a, slots in self.evm.storage.items()},
+            "nonces": {a.hex(): n for a, n in self.evm.nonces.items()},
+        }
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self.state_path)
 
     # -- JSON-RPC dispatch --------------------------------------------------
 
@@ -81,8 +122,14 @@ class LocalNode:
         if len(to) == 0:
             res = self.evm.deploy(sender, data, gas_limit)
         else:
+            # a call into an account with no code would trivially "succeed"
+            # (nothing executes); a dev node used for verifier testing must
+            # treat that as an error, not a passing verification
+            if self.evm.code.get(bytes(to), b"") == b"":
+                raise ValueError(f"no contract code at 0x{bytes(to).hex()}")
             res = self.evm.call(sender, to, data, gas_limit)
         self.block += 1
+        self._save_state()
         txh = "0x" + keccak256(raw).hex()
         self.receipts[txh] = {
             "transactionHash": txh,
