@@ -27,6 +27,39 @@ def _log2_ceil(x: int) -> int:
     return (x - 1).bit_length() if x > 1 else 0
 
 
+#: fixed compiled batch width for the prover-facing transforms. The prover
+#: calls lagrange_to_coeff / coeff_to_extended with half a dozen different
+#: leading batch sizes (n_advice, n_fixed, n_instance, n_sigma, n_aux, ...);
+#: jitting per shape recompiles the full butterfly program for each (~35 s
+#: per compile on the axon TPU runtime at k=14 — the dominant cold-prove
+#: cost). Padding every call to one bucket width makes the compile cost per
+#: (transform, domain) constant; the padded lanes are zeros (NTT of 0 is 0)
+#: and their compute is microseconds against a 35 s compile.
+NTT_BATCH = 8
+
+
+def batched_transform(fn, arr, bucket: int = NTT_BATCH):
+    """Run `fn` (expecting [bucket, n, 16]) over `arr` ([B, n, 16] or
+    [n, 16]), zero-padding the batch axis to a multiple of `bucket` so only
+    ONE compiled shape per transform ever exists."""
+    single = arr.ndim == 2
+    if single:
+        arr = arr[None]
+    b = int(arr.shape[0])
+    outs = []
+    for i in range(0, b, bucket):
+        chunk = arr[i : i + bucket]
+        short = bucket - int(chunk.shape[0])
+        if short:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((short,) + chunk.shape[1:], jnp.uint32)],
+                axis=0)
+        out = fn(chunk)
+        outs.append(out[: bucket - short] if short else out)
+    res = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return res[0] if single else res
+
+
 class Domain:
     """n = 2^k rows; extended domain of size 2^extended_k for degree-(d) gates.
 
@@ -78,11 +111,13 @@ class Domain:
         self._e2c_jit = None
 
     # ---- device transforms ----------------------------------------------
+    # All batched entry points are shape-normalized through batched_transform
+    # so each (transform, domain) pair compiles exactly once per process.
     def lagrange_to_coeff(self, values):
-        return self.plan.intt(values)
+        return batched_transform(self.plan.intt, values)
 
     def coeff_to_lagrange(self, coeffs):
-        return self.plan.ntt(coeffs)
+        return batched_transform(self.plan.ntt, coeffs)
 
     def _coeff_to_extended_impl(self, coeffs):
         """coeffs [..., n or extended_n, 16] -> evals of p(zeta*X) on the
@@ -105,7 +140,7 @@ class Domain:
             import jax
 
             self._c2e_jit = jax.jit(self._coeff_to_extended_impl)
-        return self._c2e_jit(coeffs)
+        return batched_transform(self._c2e_jit, coeffs)
 
     def extended_to_coeff(self, evals):
         """Inverse of coeff_to_extended; returns extended_n coefficients."""
