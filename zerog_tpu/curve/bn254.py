@@ -232,10 +232,6 @@ def fq12_square(a):
     return fq12_mul(a, a)
 
 
-def fq12_conj_inv_via_pow(a):
-    raise NotImplementedError
-
-
 def fq12_inv(a):
     # Inversion via the adjugate is messy for a sextic tower; use
     # exponentiation by (q^12 - 2)? Too slow. Instead: solve with linear
