@@ -12,6 +12,7 @@ tau is derived from a seed (INSECURE test setup, same trust model as
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 
 import numpy as np
@@ -88,13 +89,45 @@ class Srs:
 
     def window_table(self, basis: str):
         """Cached merged-window table (see pippenger.build_window_table) for
-        one of the two fixed SRS point sets; None below FIXED_MIN_N."""
+        one of the two fixed SRS point sets; None below FIXED_MIN_N.
+
+        The table is deterministic from the point set, so it is also disk
+        cached (~/.cache/zerog_tpu): the 254-pass doubling chain costs
+        minutes of device time per process when the compile cache is cold,
+        and keygen/bench pay it otherwise once per basis per process."""
         if self.n < self.FIXED_MIN_N:
             return None
         if basis not in self._tables:
-            pdev = self.g_lagrange_dev() if basis == "lagrange" else self.g_dev()
+            import jax.numpy as jnp
+
+            from .pippenger import WindowTable
+
             c = default_fixed_window(self.n)
-            self._tables[basis] = build_window_table(pdev, c)
+            points = self.g_lagrange if basis == "lagrange" else self.g
+            h = hashlib.blake2b(f"wtable:{self.k}:{c}:".encode(),
+                                digest_size=16)
+            for pt in (points[0], points[1], points[-1], points[self.n // 2]):
+                if pt is not None:
+                    h.update(pt[0].to_bytes(32, "little"))
+                    h.update(pt[1].to_bytes(32, "little"))
+            cache = os.path.join(
+                os.path.expanduser("~/.cache/zerog_tpu"),
+                f"wtable_{h.hexdigest()}.npz")
+            if os.path.exists(cache):
+                d = np.load(cache)
+                self._tables[basis] = WindowTable(
+                    c, self.n, jnp.asarray(d["tx"]), jnp.asarray(d["ty"]),
+                    jnp.asarray(d["tv"]))
+            else:
+                pdev = self._pdev(basis)
+                t = build_window_table(pdev, c)
+                self._tables[basis] = t
+                try:
+                    os.makedirs(os.path.dirname(cache), exist_ok=True)
+                    np.savez(cache, tx=np.asarray(t.tx), ty=np.asarray(t.ty),
+                             tv=np.asarray(t.tvalid))
+                except OSError:
+                    pass
         return self._tables[basis]
 
     def _pdev(self, basis: str):

@@ -444,11 +444,16 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
     advice_src = {q: ("cd", adv_eval_off[i]) for i, q in enumerate(advice_queries)}
     fixed_src = {q: ("cd", fix_eval_off[i]) for i, q in enumerate(fixed_queries)}
     ops = _ExprOps(b, advice_src, fixed_src, instance_eval_src)
+    # structural CSE across every gate/lookup expression: repeated subtrees
+    # (notably the interpolation polynomials selector compression substitutes
+    # at each query site) are emitted once — slots are write-once, so reuse
+    # across the whole expression section is sound
+    cse: dict = {}
 
     terms = []
     for _, polys in cs.gates:
         for poly in polys:
-            terms.append(evaluate(poly, ops))
+            terms.append(evaluate(poly, ops, memo=cse))
 
     def column_eval(col):
         if col.kind == "advice":
@@ -484,10 +489,10 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
         ev = {kk: ("cd", oo) for kk, oo in lookup_eval_off[li].items()}
         a_comp = ("const", 0)
         for i_expr, _ in pairs:
-            a_comp = b.addmod(b.mulmod(a_comp, theta), evaluate(i_expr, ops))
+            a_comp = b.addmod(b.mulmod(a_comp, theta), evaluate(i_expr, ops, memo=cse))
         s_comp = ("const", 0)
         for _, t_expr in pairs:
-            s_comp = b.addmod(b.mulmod(s_comp, theta), evaluate(t_expr, ops))
+            s_comp = b.addmod(b.mulmod(s_comp, theta), evaluate(t_expr, ops, memo=cse))
         terms.append(b.mulmod(l0, b.submod(("const", 1), ev["z"])))
         terms.append(b.mulmod(l_last, b.submod(b.mulmod(ev["z"], ev["z"]), ev["z"])))
         lhs = b.mulmod(b.mulmod(ev["z_next"], b.addmod(ev["a_perm"], beta)),

@@ -127,17 +127,29 @@ def collect_queries(e: Expr, out: set | None = None) -> set:
     return out
 
 
-def evaluate(e: Expr, ops: Any):
+def evaluate(e: Expr, ops: Any, memo: "dict[bytes, Any] | None" = None):
     """Evaluate with an ops object providing:
     constant(int), fixed(col, rot), advice(col, rot), instance(col, rot),
     add(a, b), mul(a, b), scale(a, int).
-    Shared subtrees are cached by identity."""
+    Shared subtrees are cached by identity. Passing a `memo` dict additionally
+    caches composite nodes by STRUCTURE (canonical_bytes) — and persists
+    across evaluate() calls sharing the dict — so structurally repeated
+    subtrees (e.g. the interpolation polynomial of a compressed selector,
+    rebuilt per query site) are computed once. Only sound when the ops
+    values for equal leaves are stable for the memo's lifetime."""
     cache: dict[int, Any] = {}
 
     def go(node: Expr):
         key = id(node)
         if key in cache:
             return cache[key]
+        skey = None
+        if memo is not None and isinstance(node, (Sum, Product, Scaled)):
+            skey = canonical_bytes(node)
+            hit = memo.get(skey)
+            if hit is not None:
+                cache[key] = hit
+                return hit
         if isinstance(node, Constant):
             v = ops.constant(node.value)
         elif isinstance(node, FixedQuery):
@@ -155,6 +167,8 @@ def evaluate(e: Expr, ops: Any):
         else:
             raise TypeError(node)
         cache[key] = v
+        if skey is not None:
+            memo[skey] = v
         return v
 
     return go(e)
