@@ -52,6 +52,20 @@ def k6_setup():
     return srs, pk
 
 
+@pytest.fixture(scope="session")
+def k6_proof(k6_setup):
+    """Single-chip proof bytes over the shared k=6 setup under a fixed seed —
+    the e2e tamper tests verify it, and the mesh prover's default-suite
+    byte-identity test compares against it (proving it once amortizes the
+    XLA:CPU prove across modules)."""
+    from zerog_tpu.plonk import create_proof
+    from test_sharded_prover import NibbleMulCircuit
+
+    srs, pk = k6_setup
+    return create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
+                        rng_seed=b"k6-shared-proof")
+
+
 def reference_path(rel: str) -> pathlib.Path:
     """Path into the read-only reference checkout (models / test image)."""
     return REFERENCE_ROOT / rel

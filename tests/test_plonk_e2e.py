@@ -27,10 +27,9 @@ def small(k6_setup):
     return k6_setup
 
 
-def test_small_prove_verify_and_tamper(small):
+def test_small_prove_verify_and_tamper(small, k6_proof):
     srs, pk = small
-    proof = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
-                         rng_seed=b"small-1")
+    proof = k6_proof
     assert verify_proof(pk.vk, srs, [[15]], proof)
     with pytest.raises(ValueError):
         verify_proof(pk.vk, srs, [[16]], proof)

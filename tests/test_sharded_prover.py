@@ -6,8 +6,6 @@ Runs on the 8-virtual-CPU-device mesh from conftest at k=6 with a
 nibble-table toy circuit so compiles stay CI-sized.
 """
 
-import os
-
 import numpy as np
 import pytest
 
@@ -80,17 +78,14 @@ def test_sharded_commit_matches_single(setup):
     assert ssrs.commit(rows) == srs.commit(rows)
 
 
-@pytest.mark.skipif(
-    not (os.environ.get("ZEROG_SLOW_TESTS") or os.environ.get("ZEROG_TEST_TPU")),
-    reason="two full k=6 proves (~10 min of XLA:CPU compiles); "
-           "run with ZEROG_SLOW_TESTS=1",
-)
-def test_mesh_proof_byte_identical(setup):
+def test_mesh_proof_byte_identical(setup, k6_proof):
+    """The mesh prover (point-sharded fixed-base MSM commitments, four-step
+    all_to_all NTTs, row-sharded quotient) must produce BYTE-identical proofs
+    to the single-chip path. Default-suite: the single-chip proof comes from
+    the session-scoped k6_proof fixture, so this costs one mesh prove."""
     srs, pk = setup
     mesh = make_mesh(8)
-    single = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
-                          rng_seed=b"mesh-seed")
     sharded = create_proof(pk, srs, NibbleMulCircuit(3, 5), [[15]],
-                           rng_seed=b"mesh-seed", mesh=mesh)
-    assert sharded == single
+                           rng_seed=b"k6-shared-proof", mesh=mesh)
+    assert sharded == k6_proof
     assert verify_proof(pk.vk, srs, [[15]], sharded)

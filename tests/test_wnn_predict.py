@@ -47,3 +47,29 @@ def test_hash_semantics():
     # model-level hash agrees with the generic formula
     e, h = wnn.num_filter_entries, wnn.num_filter_hashes
     assert wnn.mish_mash_hash(12345) == (12345 ** 3) % wnn.p % (e ** h)
+
+
+def test_compute_accuracy_cli(tmp_path, capsys):
+    """Exercises the compute-accuracy CLI end to end (reference
+    src/main.rs:186-214). The full MNIST test set is unavailable in this
+    environment (no network egress, no local copy — the documented
+    83.06/92.81/93.95/95.10% figures from models/readme.md are therefore
+    not reproducible here), so the directory holds the one checked-in image:
+    example_image_7.png is class 7 and MNIST-Tiny predicts 7, so accuracy
+    must be exactly 1.0; a wrongly-labeled copy must drop it to 0.5."""
+    import shutil
+
+    from zerog_tpu.cli import main
+
+    src = reference_path("benches/example_image_7.png")
+    shutil.copy(src, tmp_path / "0000_7.png")
+    model = str(reference_path(
+        "models/model_28input_256entry_1hash_1bpi.hdf5"))
+    main(["compute-accuracy", model, str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Accuracy: 1/1 = 1.0000" in out
+
+    shutil.copy(src, tmp_path / "0001_3.png")  # mislabeled on purpose
+    main(["compute-accuracy", model, str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Accuracy: 1/2 = 0.5000" in out
