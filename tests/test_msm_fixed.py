@@ -97,3 +97,28 @@ def test_srs_commit_via_table(monkeypatch):
     assert srs2.commit_lagrange(values) == baseline
     assert srs2.commit(values) == baseline_mono
     assert srs2.window_table("lagrange") is not None
+
+
+def test_segscan_matches_flush_strategy(points, table, monkeypatch):
+    """The log-depth segmented-scan pipeline (default) and the legacy
+    flush-scan pipeline must agree exactly — including on the skewed digit
+    streams where the bias-injection collision argument matters (all-empty
+    bucket windows)."""
+    import jax.numpy as jnp
+
+    from zerog_tpu.field import to_limbs
+    from zerog_tpu.curve.pippenger import msm_fixed_host
+
+    cases = [
+        [[random.randrange(FR.p) for _ in range(N)] for _ in range(2)],
+        [[0] * (N // 2) + [7] * (N // 2), [0] * N],      # heavy skew + zero
+        [[1 << 200] * N, [random.getrandbits(13) for _ in range(N)]],
+    ]
+    for scalars in cases:
+        sl = jnp.asarray(to_limbs(np.asarray(scalars, dtype=object)))
+        seg = msm_fixed_host(sl, table)
+        monkeypatch.setenv("ZEROG_MSM_STRATEGY", "flush")
+        flush = msm_fixed_host(sl, table)
+        monkeypatch.delenv("ZEROG_MSM_STRATEGY")
+        expect = [ground([s % FR.p for s in row], points) for row in scalars]
+        assert seg == flush == expect

@@ -655,7 +655,14 @@ def build_window_table(points_dev, c: int) -> WindowTable:
 
 def msm_fixed_host(sl, table: WindowTable):
     """Merged-window fixed-base MSM. sl: uint32[B, N, 16] canonical scalar
-    limbs; table from build_window_table. Returns [B] affine host points."""
+    limbs; table from build_window_table. Returns [B] affine host points.
+
+    Default pipeline is the log-depth segmented scan (see below);
+    ZEROG_MSM_STRATEGY=flush selects the legacy flush-scan pipeline."""
+    import os
+
+    if os.environ.get("ZEROG_MSM_STRATEGY", "segscan") == "segscan":
+        return _msm_fixed_segscan(sl, table)
     b = int(sl.shape[0])
     c = table.c
     r_rows = _pip_r_rows(int(table.tx.shape[0]))
@@ -668,6 +675,175 @@ def msm_fixed_host(sl, table: WindowTable):
         w_lo = g1_add(host[2 * bi + 1], neg_k)
         results.append(g1_add(g1_mul(w_hi, 1 << lo_bits), w_lo))
     return results
+
+
+# ---- log-depth segmented-scan bucket pipeline --------------------------------
+#
+# The flush-scan pipeline above is SEQUENTIAL-DEPTH bound on TPU: R ~ 1024
+# scan steps (plus compaction + marginal-fold rounds, ~1500+ dependent point
+# adds) each doing tiny vector work — measured 157 ms per 2^14 MSM while the
+# chip's Fr-mul ceiling implies ~1 ms (ARCHITECTURE.md roofline). This path
+# replaces it with three log-depth stages:
+#
+#   1. segmented inclusive scan (Hillis-Steele) over the sorted digit stream:
+#      ceil(log2(max_run)) full-width steps (~6-8 for random scalars) instead
+#      of R sequential rows; each step is ONE incomplete add over all M lanes
+#      (safe: operands are sums of disjoint subsets of distinct table points).
+#   2. one scatter of each segment's last lane into the bucket array.
+#   3. weighted bucket fold sum_k k*B_k via per-bucket bias injection
+#      B'_k = B_k + (k+1)*K — every partial sum carries a DISTINCT multiple
+#      of the bias point K, so incomplete adds cannot collide even between
+#      empty-bucket runs — then a log-depth suffix scan + log-depth tree
+#      reduction, and the host subtracts the known total bias multiple.
+#
+# Sequential depth: ~(steps + 1 + c + log2(nb)) point adds total (~34 at
+# c=13) vs ~1500+; every step is full-width VPU work.
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _segscan_prep(sl, tx, ty, tv, c: int):
+    """Sort the merged digit stream and gather table points into stream
+    order. Returns (ds, gx, gy, gv, seg_id, last, max_run)."""
+    digits = _digits_balanced(sl, c)                # [W, B, N]
+    w, b, n = digits.shape
+    ds = jnp.moveaxis(digits, 0, 1).reshape(b, w * n)
+    ds = jnp.where(tv[None, :], ds, 0)              # invalid lanes -> bucket 0
+    order = jnp.argsort(ds, axis=-1)
+    ds = jnp.take_along_axis(ds, order, axis=-1)
+    gx = jnp.take_along_axis(
+        jnp.broadcast_to(tx, (b,) + tx.shape), order[..., None], axis=1)
+    gy = jnp.take_along_axis(
+        jnp.broadcast_to(ty, (b,) + ty.shape), order[..., None], axis=1)
+    gv = jnp.take_along_axis(jnp.broadcast_to(tv, (b,) + tv.shape), order,
+                             axis=1)
+    m = ds.shape[1]
+    new_seg = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1)
+    last = jnp.concatenate([new_seg[:, 1:], jnp.ones((b, 1), bool)], axis=1)
+    idx = jnp.arange(m)
+    start = jax.lax.cummax(jnp.where(new_seg, idx[None, :], 0), axis=1)
+    run = idx[None, :] - start
+    max_run = jnp.max(jnp.where(ds > 0, run, 0)) + 1
+    return ds, gx, gy, gv, seg_id, last, max_run
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _segscan_run(gx, gy, gv, seg_id, steps: int):
+    """Hillis-Steele segmented inclusive point scan: after `steps` rounds
+    each lane holds the sum of the up-to-2^steps preceding lanes of its
+    segment (enough when 2^steps >= longest nonzero-bucket run)."""
+    m = seg_id.shape[1]
+    idx = jnp.arange(m)[None, :]
+    acc = jac_from_affine(gx, gy, gv)
+    shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+
+    def body(acc, shift):
+        rolled = tuple(jnp.roll(comp, shift, axis=1) for comp in acc)
+        ok = (seg_id == jnp.roll(seg_id, shift, axis=1)) & (idx >= shift)
+        summed = jac_add_incomplete(acc, rolled)
+        return jac_select(ok, summed, acc), None
+
+    acc, _ = jax.lax.scan(body, acc, shifts)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _segscan_buckets(acc, ds, last, c: int):
+    """Scatter each segment's final lane into [B, 2^c] bucket slots (jac;
+    empty slots are all-zero = infinity). Bucket 0 is dropped (weight 0)."""
+    nb = 1 << c
+    b = ds.shape[0]
+    key = jnp.where(last & (ds > 0), ds, nb)        # nb -> dropped
+    packed = jnp.concatenate(acc, axis=-1)          # [B, M, 48]
+    barr = jnp.arange(b)[:, None]
+    out = (jnp.zeros((b, nb, 48), jnp.uint32)
+           .at[barr, key].set(packed, mode="drop"))
+    return out[..., :16], out[..., 16:32], out[..., 32:]
+
+
+@functools.cache
+def _segscan_bias(c: int):
+    """Device table of multiples (k+1)*K for k = 0..2^c-1 (built with the
+    COMPLETE add — equal operands occur while doubling), plus the host total
+    bias multiple M_total = sum_{j=1}^{nb-1} sum_{k=j}^{nb-1} (k+1)."""
+    nb = 1 << c
+    _, (kx, ky, kz) = _pip_bias()
+    arr = tuple(jnp.broadcast_to(comp, (nb, 16)) for comp in (kx, ky, kz))
+    idx = jnp.arange(nb)[:, None]
+    shifts = jnp.asarray([1 << s for s in range(c)], jnp.int32)
+
+    @jax.jit
+    def build(arr):
+        def body(arr, shift):
+            rolled = tuple(jnp.roll(comp, shift, axis=0) for comp in arr)
+            summed = jac_add(arr, rolled)
+            return jac_select(idx >= shift, summed, arr), None
+
+        arr, _ = jax.lax.scan(body, arr, shifts)
+        return arr
+
+    bias = build(arr)
+    m_total = sum(
+        (nb * (nb + 1) - j * (j + 1)) // 2 for j in range(1, nb)
+    )
+    return bias, m_total
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _segscan_fold(bx, by, bz, bias, c: int):
+    """sum_k k*B_k via biased suffix scan: S_j = sum_{k>=j} (B_k + (k+1)K),
+    then T = sum_{j>=1} S_j; the caller subtracts M_total*K. Incomplete adds
+    are collision-free because every operand embeds a distinct multiple of
+    K."""
+    nb = 1 << c
+    idx = jnp.arange(nb)[None, :]
+    b = bx.shape[0]
+    acc = jac_add_incomplete(
+        (bx, by, bz),
+        tuple(jnp.broadcast_to(comp, (b, nb, 16)) for comp in bias))
+    shifts = jnp.asarray([1 << s for s in range(c)], jnp.int32)
+
+    def suffix(acc, shift):
+        rolled = tuple(jnp.roll(comp, -shift, axis=1) for comp in acc)
+        summed = jac_add_incomplete(acc, rolled)
+        return jac_select(idx < nb - shift, summed, acc), None
+
+    acc, _ = jax.lax.scan(suffix, acc, shifts)
+    # drop S_0 (weight starts at j=1), then tree-reduce lanes 1..nb-1
+    inf = jac_infinity((b, nb))
+    acc = jac_select(idx == 0, inf, acc)
+
+    def reduce(acc, shift):
+        rolled = tuple(jnp.roll(comp, -shift, axis=1) for comp in acc)
+        summed = jac_add_incomplete(acc, rolled)
+        return jac_select(idx < shift, summed, acc), None
+
+    acc, _ = jax.lax.scan(reduce, acc, jnp.flip(shifts))
+    return tuple(comp[:, 0] for comp in acc)
+
+
+def _msm_fixed_segscan(sl, table: WindowTable):
+    b = int(sl.shape[0])
+    c = table.c
+    prep = _segscan_prep(jnp.asarray(sl), table.tx, table.ty, table.tvalid,
+                         c=c)
+    ds, gx, gy, gv, seg_id, last, max_run = prep
+    # static step count quantized to TWO variants (compiling a scan program
+    # costs minutes on the axon runtime): 8 covers runs <= 256 (random
+    # scalars: mean run M/2^c with thin tails), else full log2(M) for the
+    # skewed witness streams
+    need = max(1, int(max_run) - 1).bit_length()
+    full = max(1, int(ds.shape[1] - 1).bit_length())
+    steps = min(8, full) if need <= 8 else full
+    acc = _segscan_run(gx, gy, gv, seg_id, steps)
+    bx, by, bz = _segscan_buckets(acc, ds, last, c=c)
+    bias, m_total = _segscan_bias(c)
+    tot = _segscan_fold(bx, by, bz, bias, c=c)
+    host = points_from_device(tot)
+    kp, _ = _pip_bias()
+    neg_bias_total = g1_mul((kp[0], (-kp[1]) % FQ.p), m_total)
+    return [g1_add(pt, neg_bias_total) for pt in host]
 
 
 BIT_CHUNK = 32

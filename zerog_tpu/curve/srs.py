@@ -136,10 +136,17 @@ class Srs:
     def _msm_chunked(self, rows, basis: str):
         table = self.window_table(basis)
         pdev = None if table is not None else self._pdev(basis)
+        # pad the batch to a MAX_BATCH multiple with zero rows so every
+        # launch reuses ONE compiled batch shape (a new shape costs minutes
+        # of axon compile)
+        b = len(rows)
+        short = (-b) % self.MAX_BATCH
+        if short:
+            rows = list(rows) + [[0] * len(rows[0])] * short
         out = []
         for i in range(0, len(rows), self.MAX_BATCH):
             out.extend(msm(rows[i : i + self.MAX_BATCH], pdev, table=table))
-        return out
+        return out[:b]
 
     def commit_lagrange(self, values):
         """values: [n] ints or [B][n] -> affine point(s). KZG ignores blinds
@@ -171,9 +178,7 @@ class Srs:
         if stack.ndim == 2:
             stack = stack[None]
         b = stack.shape[0]
-        b_pad = 1
-        while b_pad < b:
-            b_pad *= 2
+        b_pad = ((b + self.MAX_BATCH - 1) // self.MAX_BATCH) * self.MAX_BATCH
         sl = jfr().from_mont(jnp.asarray(stack))
         if b_pad > b:
             sl = jnp.concatenate(

@@ -592,25 +592,43 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     y = transcript.squeeze_challenge()
 
     # ---- phase 5: quotient on extended domain (TPU) ----------------------
-    ext = _Ext(domain, cs)
+    # The extended-domain environment (_Ext: l0/l_last/l_active/x_ext) and
+    # the fixed/sigma column forms are witness-INDEPENDENT, so they are
+    # computed once per pk and cached: on the tunneled axon device the
+    # dominant cost of this phase is HOST->DEVICE transfer + per-proof NTT
+    # relaunch, not the math (measured: 148 s of a 277 s warm MNIST-Medium
+    # prove before this cache).
+    static_key = "ext_static:mesh" if mesh is not None else "ext_static"
+    static = pk._cache.get(static_key)
+    if static is None:
+        ext = _Ext(domain, cs)
+        fix_lag = _to_dev_lagrange(asn.fixed) if asn.fixed else None
+        fix_ext = (domain.coeff_to_extended(domain.lagrange_to_coeff(fix_lag))
+                   if asn.fixed else None)
+        sigma_lag = (_to_dev_lagrange(pk.sigma_values)
+                     if pk.sigma_values else None)
+        sigma_ext = (
+            domain.coeff_to_extended(domain.lagrange_to_coeff(sigma_lag))
+            if pk.sigma_values else None)
+        static = (ext, fix_lag, fix_ext, sigma_lag, sigma_ext)
+        pk._cache[static_key] = static
+    ext, fix_lag, fix_ext, sigma_lag, sigma_ext = static
 
     adv_lag = _to_dev_lagrange(advice) if advice else None
-    fix_lag = _to_dev_lagrange(asn.fixed) if asn.fixed else None
     inst_lag = _to_dev_lagrange(inst_padded) if inst_padded else None
+    _mark("quotient_host_to_limbs")
 
     adv_coeff = domain.lagrange_to_coeff(adv_lag) if advice else None
-    fix_coeff = domain.lagrange_to_coeff(fix_lag) if asn.fixed else None
     inst_coeff = domain.lagrange_to_coeff(inst_lag) if inst_padded else None
 
     adv_ext = domain.coeff_to_extended(adv_coeff) if advice else None
-    fix_ext = domain.coeff_to_extended(fix_coeff) if asn.fixed else None
     inst_ext = domain.coeff_to_extended(inst_coeff) if inst_padded else None
 
     ops = _ExtOps(ext, adv_ext, fix_ext, inst_ext)
 
-    sigma_lag = _to_dev_lagrange(pk.sigma_values) if pk.sigma_values else None
-    sigma_coeff = domain.lagrange_to_coeff(sigma_lag) if pk.sigma_values else None
-    sigma_ext = domain.coeff_to_extended(sigma_coeff) if pk.sigma_values else None
+    jax.block_until_ready([x for x in (adv_ext, fix_ext, inst_ext)
+                           if x is not None])
+    _mark("quotient_ntts_adv_fix")
 
     def col_ext(col):
         if col.kind == "advice":
@@ -624,8 +642,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     for lc in lookups:
         lk_polys.extend([lc.permuted_input, lc.permuted_table])
     aux_lag = _to_dev_lagrange(zs_all + lk_polys) if (zs_all or lk_polys) else None
+    _mark("quotient_aux_to_limbs")
     aux_coeff = domain.lagrange_to_coeff(aux_lag) if aux_lag is not None else None
     aux_ext = domain.coeff_to_extended(aux_coeff) if aux_lag is not None else None
+    if aux_ext is not None:
+        jax.block_until_ready(aux_ext)
 
     perm_z_ext = [aux_ext[i] for i in range(len(perm_zs))]
     lookup_z_ext = [aux_ext[len(perm_zs) + i] for i in range(len(lookup_zs))]
@@ -752,7 +773,9 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
             rot_order.append(rot)
     zs = [domain.rotate_point(x, rot) for rot in rot_order]
     dinv, _ = domain_inverses(domain.k, zs)
+    _mark("evals_dinv")
     evals_by_point = barycentric_eval(domain.k, lag_stack, zs, dinv)
+    _mark("evals_bary")
     rot_idx = {rot: i for i, rot in enumerate(rot_order)}
     eval_of = {}
     for row, rot in eval_specs:
