@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field import FR, FQ, jfq, to_limbs, from_limbs
+from ..field import FR, FQ, jfq, to_limbs, from_limbs, ship_limbs
 from .jpoints import (
     jac_add, jac_add_incomplete, jac_madd_incomplete, jac_double, jac_select,
     jac_from_affine, jac_infinity, jac_roll, points_from_device,
@@ -933,32 +933,32 @@ def msm(scalars, points_dev=None, c: int | None = None,
         b_pad *= 2
     if b_pad > b_real:
         scalars = list(scalars) + [[0] * len(scalars[0])] * (b_pad - b_real)
-    sl = to_limbs(np.asarray(scalars, dtype=object) % FR.p)
+    sl = ship_limbs(to_limbs(np.asarray(scalars, dtype=object) % FR.p))
 
     if strategy == "fixed":
         if table is None:
             raise ValueError("strategy='fixed' requires a WindowTable")
-        results = msm_fixed_host(jnp.asarray(sl), table)
+        results = msm_fixed_host(sl, table)
         results = results[:b_real]
         return results[0] if single else results
 
     if c is None:
         c = default_window(n)
     if strategy == "pippenger":
-        results = msm_pippenger_host(jnp.asarray(sl), jnp.asarray(px),
+        results = msm_pippenger_host(sl, jnp.asarray(px),
                                      jnp.asarray(py), jnp.asarray(pvalid), c)
         results = results[:b_real]
         return results[0] if single else results
 
     if strategy == "danaa":
-        bits = _bits_device(jnp.asarray(sl))
+        bits = _bits_device(sl)
         acc = _msm_danaa_device(bits, px, py, jnp.asarray(pvalid))
         acc = tuple(comp[:b_real] for comp in acc)
         results = points_from_device(acc)
         return results[0] if single else results
 
     # "scan": the legacy per-window segmented-scan pipeline
-    sums = msm_device(jnp.asarray(sl), px, py, jnp.asarray(pvalid), c)
+    sums = msm_device(sl, px, py, jnp.asarray(pvalid), c)
     sums = tuple(comp[:b_real] for comp in sums)
     b = b_real
     results = []

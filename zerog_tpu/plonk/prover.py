@@ -64,9 +64,12 @@ class Drbg:
 
 
 def _to_dev_lagrange(columns):
-    """list of object arrays [n] -> device mont limbs [C, n, 16]."""
+    """list of object arrays [n] -> device mont limbs [C, n, 16] (shipped
+    packed: transfer dominates on the tunneled device)."""
+    from ..field import ship_limbs
+
     arr = np.stack([to_limbs(np.asarray(c, dtype=object) % FR.p, FR, mont=True) for c in columns])
-    return jnp.asarray(arr)
+    return ship_limbs(arr)
 
 
 class _Ext:
