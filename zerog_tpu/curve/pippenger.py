@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field import FR, FQ, jfq, to_limbs, from_limbs, ship_limbs
+from ..field import FR, FQ, jfq, shift_fill, to_limbs, from_limbs
 from .jpoints import (
     jac_add, jac_add_incomplete, jac_madd_incomplete, jac_double, jac_select,
     jac_from_affine, jac_infinity, jac_roll, points_from_device,
@@ -564,17 +564,15 @@ _FQ_ONE = to_limbs(1, FQ, mont=True)
 def _fq_prefix_products(flat):
     """[M, 16] FQ mont limbs -> inclusive prefix products (log-depth; the
     doubling steps run under lax.scan so only ONE field mul is traced —
-    compile is ~2.7 s per traced mul on the axon runtime)."""
+    compile is ~2.7 s per traced mul on the axon runtime). Shifts use
+    shift_fill with one-lanes (jnp.roll fused is ~1000x slower on TPU)."""
     m = flat.shape[0]
     steps = max(1, (m - 1).bit_length())
-    idx = jnp.arange(m)
-    one = jnp.broadcast_to(jnp.asarray(_FQ_ONE), flat.shape)
+    one = jnp.asarray(_FQ_ONE)
     shifts = jnp.asarray([1 << s for s in range(steps)], dtype=jnp.int32)
 
     def body(out, shift):
-        rolled = jnp.roll(out, shift, axis=0)
-        mult = jnp.where((idx >= shift)[:, None], rolled, one)
-        return _fq.mul(out, mult), None
+        return _fq.mul(out, shift_fill(out, shift, fill=one, axis=0)), None
 
     out, _ = jax.lax.scan(body, flat, shifts)
     return out
@@ -703,7 +701,7 @@ def msm_fixed_host(sl, table: WindowTable):
 @functools.partial(jax.jit, static_argnames=("c",))
 def _segscan_prep(sl, tx, ty, tv, c: int):
     """Sort the merged digit stream and gather table points into stream
-    order. Returns (ds, gx, gy, gv, seg_id, last, max_run)."""
+    order. Returns (ds, gx, gy, gv, seg_id, last)."""
     digits = _digits_balanced(sl, c)                # [W, B, N]
     w, b, n = digits.shape
     ds = jnp.moveaxis(digits, 0, 1).reshape(b, w * n)
@@ -716,32 +714,32 @@ def _segscan_prep(sl, tx, ty, tv, c: int):
         jnp.broadcast_to(ty, (b,) + ty.shape), order[..., None], axis=1)
     gv = jnp.take_along_axis(jnp.broadcast_to(tv, (b,) + tv.shape), order,
                              axis=1)
-    m = ds.shape[1]
     new_seg = jnp.concatenate(
         [jnp.ones((b, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1)
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1)
     last = jnp.concatenate([new_seg[:, 1:], jnp.ones((b, 1), bool)], axis=1)
-    idx = jnp.arange(m)
-    start = jax.lax.cummax(jnp.where(new_seg, idx[None, :], 0), axis=1)
-    run = idx[None, :] - start
-    max_run = jnp.max(jnp.where(ds > 0, run, 0)) + 1
-    return ds, gx, gy, gv, seg_id, last, max_run
+    return ds, gx, gy, gv, seg_id, last
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _segscan_run(gx, gy, gv, seg_id, steps: int):
     """Hillis-Steele segmented inclusive point scan: after `steps` rounds
     each lane holds the sum of the up-to-2^steps preceding lanes of its
-    segment (enough when 2^steps >= longest nonzero-bucket run)."""
-    m = seg_id.shape[1]
-    idx = jnp.arange(m)[None, :]
+    segment (enough when 2^steps >= longest nonzero-bucket run).
+
+    Lane shifts use shift_fill (pad + dynamic slice), NOT jnp.roll — the
+    roll lowering costs ~450 ms/step fused on TPU vs ~0.04 ms for this form
+    (the 8-step scan measured 0.3 ms total). Shifted-in point lanes are
+    all-zero (Z = 0 = infinity) and shifted-in seg ids are -1 (matches no
+    segment), so no wraparound masking is needed."""
     acc = jac_from_affine(gx, gy, gv)
     shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
 
     def body(acc, shift):
-        rolled = tuple(jnp.roll(comp, shift, axis=1) for comp in acc)
-        ok = (seg_id == jnp.roll(seg_id, shift, axis=1)) & (idx >= shift)
-        summed = jac_add_incomplete(acc, rolled)
+        shifted = tuple(shift_fill(comp, shift, fill=0, axis=1)
+                        for comp in acc)
+        ok = seg_id == shift_fill(seg_id, shift, fill=-1, axis=1)
+        summed = jac_add_incomplete(acc, shifted)
         return jac_select(ok, summed, acc), None
 
     acc, _ = jax.lax.scan(body, acc, shifts)
@@ -770,15 +768,14 @@ def _segscan_bias(c: int):
     nb = 1 << c
     _, (kx, ky, kz) = _pip_bias()
     arr = tuple(jnp.broadcast_to(comp, (nb, 16)) for comp in (kx, ky, kz))
-    idx = jnp.arange(nb)[:, None]
     shifts = jnp.asarray([1 << s for s in range(c)], jnp.int32)
 
     @jax.jit
     def build(arr):
         def body(arr, shift):
-            rolled = tuple(jnp.roll(comp, shift, axis=0) for comp in arr)
-            summed = jac_add(arr, rolled)
-            return jac_select(idx >= shift, summed, arr), None
+            shifted = tuple(shift_fill(comp, shift, fill=0, axis=0)
+                            for comp in arr)
+            return jac_add(arr, shifted), None
 
         arr, _ = jax.lax.scan(body, arr, shifts)
         return arr
@@ -804,22 +801,19 @@ def _segscan_fold(bx, by, bz, bias, c: int):
         tuple(jnp.broadcast_to(comp, (b, nb, 16)) for comp in bias))
     shifts = jnp.asarray([1 << s for s in range(c)], jnp.int32)
 
+    # backward shift_fill brings in all-zero (infinity) lanes, which the
+    # incomplete add treats as identity — no edge masking needed
     def suffix(acc, shift):
-        rolled = tuple(jnp.roll(comp, -shift, axis=1) for comp in acc)
-        summed = jac_add_incomplete(acc, rolled)
-        return jac_select(idx < nb - shift, summed, acc), None
+        shifted = tuple(shift_fill(comp, shift, fill=0, axis=1, backward=True)
+                        for comp in acc)
+        return jac_add_incomplete(acc, shifted), None
 
     acc, _ = jax.lax.scan(suffix, acc, shifts)
     # drop S_0 (weight starts at j=1), then tree-reduce lanes 1..nb-1
     inf = jac_infinity((b, nb))
     acc = jac_select(idx == 0, inf, acc)
 
-    def reduce(acc, shift):
-        rolled = tuple(jnp.roll(comp, -shift, axis=1) for comp in acc)
-        summed = jac_add_incomplete(acc, rolled)
-        return jac_select(idx < shift, summed, acc), None
-
-    acc, _ = jax.lax.scan(reduce, acc, jnp.flip(shifts))
+    acc, _ = jax.lax.scan(suffix, acc, jnp.flip(shifts))
     return tuple(comp[:, 0] for comp in acc)
 
 
@@ -828,14 +822,11 @@ def _msm_fixed_segscan(sl, table: WindowTable):
     c = table.c
     prep = _segscan_prep(jnp.asarray(sl), table.tx, table.ty, table.tvalid,
                          c=c)
-    ds, gx, gy, gv, seg_id, last, max_run = prep
-    # static step count quantized to TWO variants (compiling a scan program
-    # costs minutes on the axon runtime): 8 covers runs <= 256 (random
-    # scalars: mean run M/2^c with thin tails), else full log2(M) for the
-    # skewed witness streams
-    need = max(1, int(max_run) - 1).bit_length()
-    full = max(1, int(ds.shape[1] - 1).bit_length())
-    steps = min(8, full) if need <= 8 else full
+    ds, gx, gy, gv, seg_id, last = prep
+    # full log2(M) steps always: one compiled program per table size, no
+    # host sync, and a shift_fill step costs ~0.04 ms — covering the worst
+    # skew is cheaper than a second compile variant
+    steps = max(1, int(ds.shape[1] - 1).bit_length())
     acc = _segscan_run(gx, gy, gv, seg_id, steps)
     bx, by, bz = _segscan_buckets(acc, ds, last, c=c)
     bias, m_total = _segscan_bias(c)
@@ -933,7 +924,7 @@ def msm(scalars, points_dev=None, c: int | None = None,
         b_pad *= 2
     if b_pad > b_real:
         scalars = list(scalars) + [[0] * len(scalars[0])] * (b_pad - b_real)
-    sl = ship_limbs(to_limbs(np.asarray(scalars, dtype=object) % FR.p))
+    sl = jnp.asarray(to_limbs(np.asarray(scalars, dtype=object) % FR.p))
 
     if strategy == "fixed":
         if table is None:

@@ -20,7 +20,7 @@ schedule, query order, GWC group order — so a proof produced by
 from __future__ import annotations
 
 from ..field import FR, FQ
-from ..poly.domain import Domain
+from ..poly.domain import get_domain
 from ..plonk.expression import evaluate
 from ..plonk.gwc import VerifierQuery, _group_rotations
 from .evm_asm import Asm, deployment_code
@@ -227,7 +227,7 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
     cs = vk.cs
     k = vk.k
     n = 1 << k
-    domain = Domain(k, cs.degree())
+    domain = get_domain(k, cs.degree())
     bf = cs.blinding_factors()
     u_row = cs.usable_rows(n)
     num_chunks = cs.num_permutation_chunks() if cs.permutation_columns else 0

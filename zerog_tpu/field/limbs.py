@@ -16,7 +16,7 @@ import numpy as np
 from .jfield import NLIMB, LIMB_BITS, MASK
 from .params import FieldParams
 
-__all__ = ["to_limbs", "from_limbs", "ints_to_mont_limbs", "mont_limbs_to_ints", "ship_limbs"]
+__all__ = ["to_limbs", "from_limbs", "ints_to_mont_limbs", "mont_limbs_to_ints"]
 
 
 def _native():
@@ -100,28 +100,3 @@ def ints_to_mont_limbs(values, params: FieldParams) -> np.ndarray:
 def mont_limbs_to_ints(limbs, params: FieldParams):
     return from_limbs(limbs, params, mont=True)
 
-
-def ship_limbs(arr):
-    """Host uint32[..., 16] 16-bit limbs -> device array, transferring HALF
-    the bytes: limbs are <= 16 bits, so pairs pack into one uint32 word on
-    the host and a trivial jitted unpack restores [..., 16] on device. The
-    axon TPU sits behind a network tunnel, so host->device bandwidth (not
-    math) dominates witness upload; packing doubles effective bandwidth."""
-    import jax
-    import jax.numpy as jnp
-
-    arr = np.ascontiguousarray(arr, dtype=np.uint32)
-    packed = arr[..., 0::2] | (arr[..., 1::2] << 16)   # [..., 8]
-    global _unpack_jit
-    if _unpack_jit is None:
-        def unpack(p):
-            lo = p & jnp.uint32(0xFFFF)
-            hi = p >> 16
-            out = jnp.stack([lo, hi], axis=-1)
-            return out.reshape(p.shape[:-1] + (NLIMB,))
-
-        _unpack_jit = jax.jit(unpack)
-    return _unpack_jit(jnp.asarray(packed))
-
-
-_unpack_jit = None

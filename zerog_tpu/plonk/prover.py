@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import FR, jfr, to_limbs, from_limbs
-from ..poly.domain import Domain
+from ..poly.domain import Domain, get_domain
 from ..transcript import KeccakTranscriptWriter
 from .assignment import Assignment
 from .cs import ConstraintSystem
@@ -64,12 +64,9 @@ class Drbg:
 
 
 def _to_dev_lagrange(columns):
-    """list of object arrays [n] -> device mont limbs [C, n, 16] (shipped
-    packed: transfer dominates on the tunneled device)."""
-    from ..field import ship_limbs
-
+    """list of object arrays [n] -> device mont limbs [C, n, 16]."""
     arr = np.stack([to_limbs(np.asarray(c, dtype=object) % FR.p, FR, mont=True) for c in columns])
-    return ship_limbs(arr)
+    return jnp.asarray(arr)
 
 
 class _Ext:
@@ -483,7 +480,7 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     cs = vk.cs
     k = vk.k
     n = 1 << k
-    domain = Domain(k, cs.degree())
+    domain = get_domain(k, cs.degree())
     if mesh is not None:
         # route the quotient phase's NTTs through the four-step all_to_all
         # decomposition (pointwise steps keep their row sharding)

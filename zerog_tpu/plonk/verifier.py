@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..field import FR
-from ..poly.domain import Domain
+from ..poly.domain import get_domain
 from ..transcript import KeccakTranscriptReader
 from .expression import evaluate
 from .gwc import VerifierQuery, multiopen_verify
@@ -61,7 +61,7 @@ def verify_proof(vk: VerifyingKey, srs, instances, proof: bytes,
     k = vk.k
     n = 1 << k
     p = FR.p
-    domain = Domain(k, cs.degree())
+    domain = get_domain(k, cs.degree())
     bf = cs.blinding_factors()
     u = cs.usable_rows(n)
     tr = transcript if transcript is not None else KeccakTranscriptReader(proof)

@@ -52,17 +52,20 @@ def omega_powers(k: int) -> np.ndarray:
 @jax.jit
 def _prefix_products(flat):
     """Inclusive prefix products of flat [m, 16] via Hillis-Steele doubling
-    (log2(m) masked vector muls; the mask keeps shifted-in lanes neutral)."""
+    (log2(m) vector muls; shift_fill brings in multiplicative-one lanes, so
+    no masking — and no jnp.roll, whose fused TPU lowering is ~1000x slower
+    than the pad+slice form)."""
+    from ..field import shift_fill
+
     m = flat.shape[0]
     steps = max(1, (m - 1).bit_length())
-    out = flat
-    idx = jnp.arange(m)
-    for s in range(steps):
-        shift = 1 << s
-        rolled = jnp.roll(out, shift, axis=0)
-        mult = jnp.where((idx >= shift)[:, None], rolled,
-                         jnp.broadcast_to(jnp.asarray(_ONE), out.shape))
-        out = _f.mul(out, mult)
+    shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+    one = jnp.asarray(_ONE)
+
+    def body(out, shift):
+        return _f.mul(out, shift_fill(out, shift, fill=one, axis=0)), None
+
+    out, _ = jax.lax.scan(body, flat, shifts)
     return out
 
 
