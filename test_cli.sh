@@ -10,6 +10,11 @@ MODELS=${MODELS:-/root/reference/models}
 IMG=${IMG:-/root/reference/benches/example_image_7.png}
 MNIST_PNG=${MNIST_PNG:-data/MNIST/png}
 
+if [ ! -f "$MODELS/model_28input_256entry_1hash_1bpi.hdf5" ]; then
+    echo "reference model data not found at $MODELS — skipping CLI e2e"
+    exit 0
+fi
+
 # Each CLI invocation spawns its own in-process dev node; a shared state file
 # makes deploy-evm-verifier and submit-proof hit the SAME chain state (the
 # reference's flow against a long-running Anvil, test_cli.sh:40-83).

@@ -195,11 +195,12 @@ def points_from_device(jac):
     import numpy as np
     from .bn254 import jacobian_to_affine_batch
 
-    x, y, z = jac
-    xs = from_limbs(np.asarray(x), FQ, mont=True)
-    ys = from_limbs(np.asarray(y), FQ, mont=True)
-    zs = from_limbs(np.asarray(z), FQ, mont=True)
-    xs = np.atleast_1d(xs)
-    ys = np.atleast_1d(ys)
-    zs = np.atleast_1d(zs)
+    import jax
+    import jax.numpy as jnp
+
+    # one stacked download: each synchronous device->host fetch pays a full
+    # tunnel round trip (~25 ms), so 3 separate gets triple the latency
+    packed = np.asarray(jax.device_get(jnp.stack(list(jac))))
+    xs, ys, zs = (np.atleast_1d(from_limbs(comp, FQ, mont=True))
+                  for comp in packed)
     return jacobian_to_affine_batch(list(xs), list(ys), list(zs))

@@ -655,11 +655,16 @@ def msm_fixed_host(sl, table: WindowTable):
     """Merged-window fixed-base MSM. sl: uint32[B, N, 16] canonical scalar
     limbs; table from build_window_table. Returns [B] affine host points.
 
-    Default pipeline is the log-depth segmented scan (see below);
-    ZEROG_MSM_STRATEGY=flush selects the legacy flush-scan pipeline."""
+    Default pipeline is the flush scan: measured 106k pts/s vs the log-depth
+    segmented scan's 8.4k at 2^14xB=4 on the v5e (scripts/bench_msm_r4.py,
+    r4) — segscan's 19 full-width incomplete adds are work-bound ~27x above
+    the flush scan's one-pass stream, while flush's 1024 narrow steps are
+    latency-bound at ~0.4 ms each and finish first. segscan compiles ~6x
+    faster and remains selectable (ZEROG_MSM_STRATEGY=segscan) for
+    compile-budget-bound contexts."""
     import os
 
-    if os.environ.get("ZEROG_MSM_STRATEGY", "segscan") == "segscan":
+    if os.environ.get("ZEROG_MSM_STRATEGY", "flush") == "segscan":
         return _msm_fixed_segscan(sl, table)
     b = int(sl.shape[0])
     c = table.c
@@ -677,11 +682,12 @@ def msm_fixed_host(sl, table: WindowTable):
 
 # ---- log-depth segmented-scan bucket pipeline --------------------------------
 #
-# The flush-scan pipeline above is SEQUENTIAL-DEPTH bound on TPU: R ~ 1024
-# scan steps (plus compaction + marginal-fold rounds, ~1500+ dependent point
-# adds) each doing tiny vector work — measured 157 ms per 2^14 MSM while the
-# chip's Fr-mul ceiling implies ~1 ms (ARCHITECTURE.md roofline). This path
-# replaces it with three log-depth stages:
+# ALTERNATIVE pipeline (ZEROG_MSM_STRATEGY=segscan), kept for compile-bound
+# contexts: it compiles ~6x faster than the flush path (82 s vs 500 s cold)
+# but runs ~13x SLOWER at 2^14xB=4 (r4 measurement, scripts/bench_msm_r4.py):
+# its log2(M)=19 full-width incomplete adds cost ~19x the flush scan's
+# one-pass work, which dwarfs the flush path's sequential-depth overhead
+# (~1536 narrow scan steps at ~0.4 ms each). Three log-depth stages:
 #
 #   1. segmented inclusive scan (Hillis-Steele) over the sorted digit stream:
 #      ceil(log2(max_run)) full-width steps (~6-8 for random scalars) instead
@@ -884,10 +890,9 @@ def _msm_danaa_device(bits, px, py, pvalid):
     """Lane-parallel double-and-add MSM, chunk-dispatched.
 
     bits: bool[256, B, N] (MSB first); points: mont affine [N, 16].
-    Returns Jacobian [B] points. Chosen over the sort/scatter Pippenger
-    pipeline as the default: with a ~23-mul unified add the per-window
-    segmented scans cost more mul-passes than one straight double-and-add,
-    and this uses only runtime-stable constructs.
+    Returns Jacobian [B] points. The complete (unified) add makes this the
+    safe strategy for arbitrary/adversarial point sets; the default for the
+    prover's fixed SRS bases is the bucketed pipeline (see `msm_fixed_host`).
     """
     b, n = bits.shape[1], bits.shape[2]
     acc = jac_infinity((b, n))

@@ -30,6 +30,19 @@ __all__ = ["Srs"]
 _MAGIC = b"ZGTPUSRS"
 
 
+import functools
+
+
+@functools.cache
+def _from_mont_jit():
+    """Jitted Fr demont (eager field ops dispatch ~10^3 kernels per call)."""
+    import jax
+
+    from ..field import jfr
+
+    return jax.jit(jfr().from_mont)
+
+
 class Srs:
     def __init__(self, k: int, g, g_lagrange, g2, s_g2):
         self.k = k
@@ -82,10 +95,22 @@ class Srs:
         return self._lag_dev
 
     # ---- commitments -----------------------------------------------------
-    MAX_BATCH = 2  # commitments per device launch (compile + HBM bounds)
     # below this row count the merged-window table costs more than it saves
     # (and CPU test circuits stay on the per-window path)
     FIXED_MIN_N = 4096
+
+    @property
+    def MAX_BATCH(self) -> int:
+        """Commitments per device launch. The bucket pipeline is bound by its
+        ~1.5k sequential scan steps, whose cost is nearly batch-independent
+        (measured: B=4 is ~4x the pts/s of B=1), so batch as wide as HBM
+        allows: the merged stream + piece arrays are O(B * W * n) with W ~ 20
+        windows, ~12 GB at B=8, k=17 — hence the n-based taper."""
+        if self.n <= (1 << 15):
+            return 8
+        if self.n <= (1 << 16):
+            return 4
+        return 2
 
     def window_table(self, basis: str):
         """Cached merged-window table (see pippenger.build_window_table) for
@@ -172,14 +197,13 @@ class Srs:
     def _msm_dev(self, stack, basis: str):
         import jax.numpy as jnp
 
-        from ..field import jfr
         from .pippenger import msm_pippenger_host, msm_fixed_host, default_window
 
         if stack.ndim == 2:
             stack = stack[None]
         b = stack.shape[0]
         b_pad = ((b + self.MAX_BATCH - 1) // self.MAX_BATCH) * self.MAX_BATCH
-        sl = jfr().from_mont(jnp.asarray(stack))
+        sl = _from_mont_jit()(jnp.asarray(stack))
         if b_pad > b:
             sl = jnp.concatenate(
                 [sl, jnp.zeros((b_pad - b,) + sl.shape[1:], sl.dtype)], axis=0)

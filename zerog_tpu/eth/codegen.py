@@ -561,4 +561,11 @@ def gen_evm_verifier(vk, srs, num_instance) -> bytes:
     a.push(0).push(0).op("RETURN")
 
     runtime = a.assemble()
+    if len(runtime) > 24576:
+        # EIP-170 runtime-size ceiling: a contract over it cannot be deployed
+        # on mainnet-equivalent chains, so fail at codegen time (the
+        # reference's solc pipeline would fail at deploy instead).
+        raise ValueError(
+            f"verifier runtime bytecode is {len(runtime)} bytes, over the "
+            f"EIP-170 limit of 24576 — tighten CSE or split validators")
     return deployment_code(runtime)

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..curve.jpoints import points_to_device
 from ..curve.pippenger import build_window_table, default_fixed_window
-from ..field import FR, jfr, to_limbs
+from ..field import FR, to_limbs
 from .mesh import AXIS, Mesh
 from .sharded_msm import ShardedWindowTable, msm_fixed_sharded
 
@@ -49,8 +49,9 @@ class ShardedSrs:
         self.s_g2 = srs.s_g2
         d = mesh.devices.size
         self._pad = (-srs.n) % d
-        self.n = srs.n + self._pad  # padded point count (table size)
-        self._c = default_fixed_window(self.n)
+        self.n = srs.n  # logical SRS size (gwc sizes host polys from this)
+        self._padded_n = srs.n + self._pad  # table point count, d-divisible
+        self._c = default_fixed_window(self._padded_n)
 
         def padded(points):
             px, py, pv = points_to_device(points)
@@ -77,7 +78,10 @@ class ShardedSrs:
             self._tables[basis] = t
         return t
 
-    MAX_BATCH = 2  # commitments per pipeline launch (matches Srs.MAX_BATCH)
+    # commitments per pipeline launch: kept at 2 (vs Srs.MAX_BATCH's
+    # HBM-tapered 8) — the mesh path runs on memory-tight virtual CPU
+    # devices in tests, and batching does not change the committed points
+    MAX_BATCH = 2
 
     def _msm_sharded(self, sl, basis: str):
         """sl: canonical uint32[B, N, 16] (unpadded N); returns B host points."""
@@ -123,9 +127,11 @@ class ShardedSrs:
     def _dev_canonical(self, stack):
         import jax.numpy as jnp
 
+        from ..curve.srs import _from_mont_jit
+
         if stack.ndim == 2:
             stack = stack[None]
-        return jfr().from_mont(jnp.asarray(stack))
+        return _from_mont_jit()(jnp.asarray(stack))
 
     def commit_lagrange_dev(self, stack):
         single = stack.ndim == 2

@@ -3,9 +3,11 @@
 TPU counterpart of `halo2_proofs::plonk::ConstraintSystem` (reference gadgets
 register gates/lookups against it throughout src/gadgets/; SURVEY.md §2b).
 
-Simplifications relative to halo2, chosen deliberately:
-- Selectors are plain fixed columns (no selector compression); a `Selector`
-  is a thin wrapper over a fixed column whose query is a `FixedQuery`.
+Design notes:
+- A `Selector` is a thin wrapper over a fixed column whose query is a
+  `FixedQuery`; halo2-style selector compression (packing disjoint boolean
+  selectors into combined fixed columns) is a separate keygen pass in
+  `plonk/selectors.py`, recorded on the CS as `cs.compression`.
 - Lookup table columns are fixed columns tagged as tables.
 Both keep the proving semantics identical while making witness construction a
 pure vectorized array build.

@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-from ..field import FR, batch_inv
+from ..field import FR
 
 __all__ = ["LookupCommitted", "commit_permuted", "grand_product"]
 
@@ -93,21 +93,22 @@ def commit_permuted(compressed_input, compressed_table, usable: int, rng) -> "Lo
 
 def grand_product(lc: LookupCommitted, beta: int, gamma: int, usable: int, rng) -> np.ndarray:
     """Z[0] = 1; Z[i+1] = Z[i] * (A_i+beta)(S_i+gamma) / ((A'_i+beta)(S'_i+gamma))
-    over usable rows; Z[usable] telescopes to 1; blinding rows random."""
-    p = FR.p
+    over usable rows; Z[usable] telescopes to 1; blinding rows random.
+
+    The telescoping product runs on device as a log-depth prefix-product scan
+    (the reference's rayon `par_iter` equivalent; see plonk/products.py) —
+    values are exactly the host-loop construction's."""
+    from .products import chained_product, pair_terms
+
     n = len(lc.compressed_input)
-    denoms = [
-        (int(lc.permuted_input[i]) + beta) % p * ((int(lc.permuted_table[i]) + gamma) % p) % p
-        for i in range(usable)
-    ]
-    dinv = batch_inv(denoms, p)
+    nums = pair_terms(lc.compressed_input[:usable], lc.compressed_table[:usable],
+                      beta, gamma)
+    dens = pair_terms(lc.permuted_input[:usable], lc.permuted_table[:usable],
+                      beta, gamma)
+    body = chained_product(nums, dens, 1)
     z = np.zeros(n, dtype=object)
-    cur = 1
     z[0] = 1
-    for i in range(usable):
-        num = (int(lc.compressed_input[i]) + beta) % p * ((int(lc.compressed_table[i]) + gamma) % p) % p
-        cur = cur * num % p * dinv[i] % p
-        z[i + 1] = cur
+    z[1 : usable + 1] = body
     assert z[usable] == 1, "lookup grand product does not telescope (invalid witness)"
     for i in range(usable + 1, n):
         z[i] = rng.field()

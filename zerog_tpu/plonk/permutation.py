@@ -17,44 +17,80 @@ Constraints (sets indexed i, global column index jg):
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ..field import FR, batch_inv
+from ..field import FR, jfr, to_limbs
 
 __all__ = ["grand_products"]
+
+_f = jfr()
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _chunk_terms(vals, sigmas, beta_deltas, omega_pows, beta, gamma):
+    """nums/dens products over one chunk's columns, all on device.
+
+    vals/sigmas: [m, u, 16] mont limbs; beta_deltas: [m, 16] (beta * delta^jg
+    per column); omega_pows: [u, 16]; beta/gamma: [16].
+    nums = prod_j (v_j + beta*delta_jg*w^i + gamma)
+    dens = prod_j (v_j + beta*sigma_j + gamma)
+    """
+    g = gamma[None, None]
+    nums_t = _f.add(_f.add(vals, _f.mul(beta_deltas[:, None], omega_pows[None])), g)
+    dens_t = _f.add(_f.add(vals, _f.mul(beta[None, None], sigmas)), g)
+    m = nums_t.shape[0]
+    nums, dens = nums_t[0], dens_t[0]
+    for j in range(1, m):  # chunk_len is tiny (degree - 2); unrolled at trace
+        nums = _f.mul(nums, nums_t[j])
+        dens = _f.mul(dens, dens_t[j])
+    return nums, dens
 
 
 def grand_products(perm_values, sigma_values, beta: int, gamma: int,
                    usable: int, n: int, chunk_len: int, rng):
     """perm_values / sigma_values: lists of object arrays [n], in permutation
-    column order. Returns the list of chained Z columns (object [n], blinded)."""
+    column order. Returns the list of chained Z columns (object [n], blinded).
+
+    The per-row products and the telescoping Z run on device (log-depth
+    prefix-product scans; plonk/products.py) — the reference parallelizes the
+    same loops via rayon inside halo2_proofs (SURVEY.md §2b)."""
+    from ..poly.eval import omega_powers
+    from .products import chained_product
+
     p = FR.p
-    omega = FR.nth_root_of_unity(int(n).bit_length() - 1)
-    omega_pows = np.empty(usable, dtype=object)
-    cur = 1
-    for i in range(usable):
-        omega_pows[i] = cur
-        cur = cur * omega % p
+    k = int(n).bit_length() - 1
+    omega_dev = jnp.asarray(omega_powers(k)[:usable])
+    beta_l = jnp.asarray(to_limbs(beta % p, FR, mont=True))
+    gamma_l = jnp.asarray(to_limbs(gamma % p, FR, mont=True))
+
+    def dev_stack(cols):
+        arr = np.stack([
+            to_limbs(np.asarray(c[:usable], dtype=object) % p, FR, mont=True)
+            for c in cols
+        ])
+        return jnp.asarray(arr)
 
     zs = []
     m = len(perm_values)
     last_z = 1
     for start in range(0, m, chunk_len):
-        cols = range(start, min(start + chunk_len, m))
-        nums = np.ones(usable, dtype=object)
-        dens = np.ones(usable, dtype=object)
-        for j in cols:
-            delta_j = pow(FR.delta, j, p)
-            v = perm_values[j][:usable]
-            nums = nums * ((v + beta * delta_j * omega_pows + gamma) % p) % p
-            dens = dens * ((v + beta * sigma_values[j][:usable] + gamma) % p) % p
-        dinv = batch_inv([int(x) for x in dens], p)
+        cols = list(range(start, min(start + chunk_len, m)))
+        vals = dev_stack([perm_values[j] for j in cols])
+        sigmas = dev_stack([sigma_values[j] for j in cols])
+        beta_deltas = jnp.asarray(np.stack([
+            to_limbs(beta * pow(FR.delta, j, p) % p, FR, mont=True)
+            for j in cols
+        ]))
+        nums, dens = _chunk_terms(vals, sigmas, beta_deltas, omega_dev,
+                                  beta_l, gamma_l)
+        body = chained_product(nums, dens, last_z)
         z = np.zeros(n, dtype=object)
         z[0] = last_z
-        cur = last_z
-        for i in range(usable):
-            cur = cur * int(nums[i]) % p * dinv[i] % p
-            z[i + 1] = cur
+        z[1 : usable + 1] = body
         last_z = int(z[usable])
         for i in range(usable + 1, n):
             z[i] = rng.field()

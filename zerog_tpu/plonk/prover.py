@@ -43,6 +43,34 @@ from .permutation import grand_products
 __all__ = ["Drbg", "create_proof"]
 
 
+@jax.jit
+def _hc_fold(h_stack, xn_limbs):
+    """Horner fold of the quotient pieces: sum_i xn^i * h_i."""
+    f = jfr()
+    acc = h_stack[-1]
+    for i in range(h_stack.shape[0] - 2, -1, -1):
+        acc = f.add(f.mul(acc, xn_limbs), h_stack[i])
+    return acc
+
+
+def _mesh_key(mesh):
+    """Hashable identity of a mesh: axis layout + concrete device set."""
+    return (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+
+
+_SHARDED_DOMAINS: dict = {}
+
+
+def _sharded_domain(domain, mesh):
+    key = (domain.k, domain.extended_k, _mesh_key(mesh))
+    sd = _SHARDED_DOMAINS.get(key)
+    if sd is None:
+        from ..parallel.sharded_domain import ShardedDomain
+
+        sd = _SHARDED_DOMAINS[key] = ShardedDomain(domain, mesh)
+    return sd
+
+
 class Drbg:
     """Deterministic blinding RNG (blake2b counter mode). Seed None -> OS
     entropy; a fixed seed gives bit-reproducible proofs (the halo2 API is
@@ -483,10 +511,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     domain = get_domain(k, cs.degree())
     if mesh is not None:
         # route the quotient phase's NTTs through the four-step all_to_all
-        # decomposition (pointwise steps keep their row sharding)
-        from ..parallel.sharded_domain import ShardedDomain
-
-        domain = ShardedDomain(domain, mesh)
+        # decomposition (pointwise steps keep their row sharding); cached per
+        # (domain, mesh) so FourStepNtt plans + shard_map programs persist
+        # across proofs (the host twiddle build is O(extended_n) bigints)
+        domain = _sharded_domain(domain, mesh)
     usable = cs.usable_rows(n)
     bf = cs.blinding_factors()
     rng = Drbg(rng_seed)
@@ -598,7 +626,9 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
     # dominant cost of this phase is HOST->DEVICE transfer + per-proof NTT
     # relaunch, not the math (measured: 148 s of a 277 s warm MNIST-Medium
     # prove before this cache).
-    static_key = "ext_static:mesh" if mesh is not None else "ext_static"
+    # keyed on the mesh identity: the same pk proving on two different meshes
+    # in one process must not reuse arrays sharded for the first mesh
+    static_key = ("ext_static", None if mesh is None else _mesh_key(mesh))
     static = pk._cache.get(static_key)
     if static is None:
         ext = _Ext(domain, cs)
@@ -682,10 +712,11 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
         env = {key: _shard_rows(val) for key, val in env.items()}
 
     _mark("quotient_ntts")
-    chunk_fns = pk._cache.get("quotient_chunks")
+    chunk_key = ("quotient_chunks", None if mesh is None else _mesh_key(mesh))
+    chunk_fns = pk._cache.get(chunk_key)
     if chunk_fns is None:
         chunk_fns = _build_quotient_chunk_fns(cs, domain, bf)
-        pk._cache["quotient_chunks"] = chunk_fns
+        pk._cache[chunk_key] = chunk_fns
 
     h_ext = jnp.zeros((domain.extended_n, 16), dtype=jnp.uint32)
     if mesh is not None:
@@ -716,11 +747,10 @@ def create_proof(pk: ProvingKey, srs, circuit, instances, rng_seed=None,
 
     xn = pow(x, n, p)
     f = jfr()
-    # h_combined = sum xn^i h_i, folded on device in coefficient form
-    hc_coeff = h_stack[num_pieces - 1]
+    # h_combined = sum xn^i h_i, folded on device in coefficient form (one
+    # jitted program — eager field ops dispatch ~10^3 kernels per op)
     xn_limbs = jnp.asarray(to_limbs(xn, FR, mont=True))
-    for i in range(num_pieces - 2, -1, -1):
-        hc_coeff = f.add(f.mul(hc_coeff, xn_limbs), h_stack[i])
+    hc_coeff = _hc_fold(h_stack, xn_limbs)
     random_coeff_dev = jnp.asarray(
         to_limbs(np.asarray(random_poly, dtype=object), FR, mont=True))
     tail_lag = domain.coeff_to_lagrange(

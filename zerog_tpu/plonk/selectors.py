@@ -138,6 +138,13 @@ def _choose_layout(cs: ConstraintSystem, assignment) -> SelectorCompression:
             continue
         if not boolean(col):
             continue
+        # apply_to_fixed packs activations over ALL n rows, but disjointness
+        # below is judged on [:usable] — a selector active in the blinding
+        # region could silently overwrite a combo partner there, so such
+        # columns (none in practice: regions lay out inside usable rows)
+        # stay uncompressed.
+        if any(int(v) for v in assignment.fixed[col][assignment.usable:]):
+            continue
         candidates.append((col, inner))
 
     if not candidates:

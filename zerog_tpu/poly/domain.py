@@ -109,6 +109,7 @@ class Domain:
         self._t_inv = to_limbs(tiled, FR, mont=True)
         self._c2e_jit = None
         self._e2c_jit = None
+        self._divz_jit = None
 
     # ---- device transforms ----------------------------------------------
     # All batched entry points are shape-normalized through batched_transform
@@ -151,9 +152,15 @@ class Domain:
         return self._e2c_jit(evals)
 
     def divide_by_vanishing_poly(self, evals):
-        """Pointwise multiply extended evals by 1/Z_H."""
-        f = jfr()
-        return f.mul(evals, jnp.asarray(self._t_inv))
+        """Pointwise multiply extended evals by 1/Z_H (jitted: an eager field
+        mul dispatches ~10^3 primitive kernels)."""
+        if self._divz_jit is None:
+            import jax
+
+            f = jfr()
+            self._divz_jit = jax.jit(
+                lambda e, t: f.mul(e, t))
+        return self._divz_jit(evals, jnp.asarray(self._t_inv))
 
     def rotate_extended(self, evals, rotation: int):
         """Rotation by `rotation` base-domain steps on extended evals

@@ -129,11 +129,24 @@ def _bary_weighted_sum(stack, weights):
     return acc[:, 0]
 
 
+@jax.jit
+def _bary_point(stack, dinv_row, ws, zfac):
+    """One opening point: weights = zfac * w^i * (z - w^i)^-1, then the
+    weighted log-tree sum. Fully jitted — an eager _f.mul here would dispatch
+    ~10^3 primitive kernels per call (measured seconds per proof on the
+    tunneled device)."""
+    weights = _f.mul(_f.mul(dinv_row, ws), zfac)
+    return _bary_weighted_sum(stack, weights)
+
+
 def barycentric_eval(k: int, stack, zs_host, dinv=None):
     """Evaluate Lagrange-form polys at points: stack [C, n, 16] mont,
     zs_host list of ints -> host int matrix [P][C].
 
     p(z) = (z^n - 1)/n * sum_i v_i * w^i * (z - w^i)^-1
+
+    One jitted launch per point, ONE device->host download for all points
+    (each synchronous download pays a full tunnel round trip).
     """
     n = 1 << k
     p = FR.p
@@ -141,26 +154,24 @@ def barycentric_eval(k: int, stack, zs_host, dinv=None):
         dinv, ws = domain_inverses(k, zs_host)
     else:
         ws = jnp.asarray(omega_powers(k))
-    outs = []
+    outs_dev = []
     for pi, z in enumerate(zs_host):
         zn1_over_n = (pow(int(z), n, p) - 1) * pow(n, p - 2, p) % p
-        weights = _f.mul(_f.mul(dinv[pi], ws),
-                         jnp.asarray(to_limbs(zn1_over_n, FR, mont=True)))
-        vals = _bary_weighted_sum(stack, weights)
-        outs.append([int(v) for v in
-                     np.atleast_1d(from_limbs(np.asarray(vals), FR, mont=True))])
-    return outs
+        zfac = jnp.asarray(to_limbs(zn1_over_n, FR, mont=True))
+        outs_dev.append(_bary_point(stack, dinv[pi], ws, zfac))
+    allv = from_limbs(np.asarray(jax.device_get(jnp.stack(outs_dev))), FR,
+                      mont=True)
+    return [[int(v) for v in np.atleast_1d(row)] for row in allv]
 
 
 @jax.jit
-def _kate_kernel(vals, e_limbs, neg_dinv):
-    """(v_i - e) * (w^i - z)^-1 elementwise; neg_dinv = -(z - w^i)^-1."""
-    return _f.mul(_f.sub(vals, e_limbs[None, :]), neg_dinv)
+def _kate_kernel(vals, e_limbs, dinv_row):
+    """(v_i - e) * (w^i - z)^-1 = -(v_i - e) * (z - w^i)^-1, fully fused."""
+    return _f.mul(_f.sub(vals, e_limbs[None, :]), _f.neg(dinv_row))
 
 
 def kate_quotient_lagrange(vals, e: int, dinv_row):
     """vals [n, 16] mont Lagrange values of p; e = p(z); dinv_row [n, 16] =
     (z - w^i)^-1. Returns Lagrange values of (p(X) - e)/(X - z)."""
     e_limbs = jnp.asarray(to_limbs(int(e) % FR.p, FR, mont=True))
-    neg_dinv = _f.neg(dinv_row)
-    return _kate_kernel(vals, e_limbs, neg_dinv)
+    return _kate_kernel(vals, e_limbs, dinv_row)
