@@ -162,11 +162,28 @@ def bench_msm(cpu_fallback: bool = False):
         per = (time.time() - t0) / (reps * batch)
         return n / per, out
 
+    c = default_fixed_window(n)
+    tcache = os.path.expanduser(f"~/.cache/zerog_tpu_bench_wtable_{log_n}_{c}.npz")
     t0 = time.time()
-    table = build_window_table(pdev, default_fixed_window(n))
-    jax.block_until_ready((table.tx, table.ty))
-    table_s = time.time() - t0
-    print(f"window table build (c={table.c}): {table_s:.1f}s", file=sys.stderr)
+    if os.path.exists(tcache):
+        from zerog_tpu.curve.pippenger import WindowTable
+
+        d = np.load(tcache)
+        table = WindowTable(c, n, jnp.asarray(d["tx"]), jnp.asarray(d["ty"]),
+                            jnp.asarray(d["tv"]))
+        table_s = time.time() - t0
+        print(f"window table load (c={c}): {table_s:.1f}s", file=sys.stderr)
+    else:
+        table = build_window_table(pdev, c)
+        jax.block_until_ready((table.tx, table.ty))
+        table_s = time.time() - t0
+        print(f"window table build (c={table.c}): {table_s:.1f}s",
+              file=sys.stderr)
+        try:
+            np.savez(tcache, tx=np.asarray(table.tx), ty=np.asarray(table.ty),
+                     tv=np.asarray(table.tvalid))
+        except OSError:
+            pass
     out["msm_table_build_s"] = round(table_s, 2)
     out["msm_window_c"] = table.c
 
@@ -189,7 +206,14 @@ def bench_msm(cpu_fallback: bool = False):
 
 def bench_ntt():
     """NTT diagnostic (butterflies/s at 2^16 — the extended domain of the
-    k=14 Tiny circuit, so the program is warm after a Tiny proof)."""
+    k=14 Tiny circuit, so the program is warm after a Tiny proof).
+
+    Timing discipline (r4 lesson, pinned in ARCHITECTURE.md): on the
+    tunneled axon runtime `block_until_ready` does NOT reliably wait, so the
+    old same-input rep loop read ~20x too fast (r03 recorded 1.5e9
+    butterflies/s that way). Here each rep transforms the PREVIOUS output
+    (data-dependent chain) and the loop is anchored by a device_get."""
+    import jax
     import jax.numpy as jnp
 
     from zerog_tpu.field import FR, to_limbs
@@ -200,16 +224,17 @@ def bench_ntt():
     vals = jnp.asarray(
         to_limbs([int(x) for x in rng.integers(0, 1 << 62, 1 << 16)], FR,
                  mont=True))
-    import jax
 
     t0 = time.time()
-    jax.block_until_ready(plan.ntt(vals))
+    r = plan.ntt(vals)
+    _ = jax.device_get(r[:1])
     print(f"ntt compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    reps = 10
     t0 = time.time()
-    for _ in range(10):
-        r = plan.ntt(vals)
-    jax.block_until_ready(r)
-    ntt_s = (time.time() - t0) / 10
+    for _ in range(reps):
+        r = plan.ntt(r)
+    _ = jax.device_get(r[:1])
+    ntt_s = (time.time() - t0) / reps
     bflies = (1 << 15) * 16
     print(f"ntt 2^16: {ntt_s*1e3:.1f} ms -> {bflies/ntt_s:,.0f} butterflies/s",
           file=sys.stderr)

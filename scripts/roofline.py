@@ -43,30 +43,49 @@ def main():
                              FR, mont=True))
     b = jnp.asarray(to_limbs([int(x) for x in rng.integers(1, 1 << 62, n)],
                              FR, mont=True))
+    # TIMING DISCIPLINE (r4): anchor every loop with a device_get — on the
+    # tunneled axon runtime block_until_ready does not reliably wait, and
+    # the r02/r03 numbers measured without the anchor ("22.5e9 muls/s") were
+    # artifacts. Chained inputs keep each rep's args distinct.
     mul = jax.jit(f.mul)
-    jax.block_until_ready(mul(a, b))
+    out = mul(a, b)
+    _ = jax.device_get(out[:1])
     reps = 20
     t0 = time.time()
-    out = a
     for _ in range(reps):
         out = mul(out, b)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out[:1])
     per = (time.time() - t0) / reps
     peak = n / per
     print(f"field mul [2^20]: {per*1e3:.2f} ms -> {peak:,.0f} muls/s "
-          f"(chained, HBM-resident)", flush=True)
+          f"(chained, device_get-anchored)", flush=True)
 
     # fused mul+add chain (quotient-style): muls/s when XLA can fuse
     fma = jax.jit(lambda x, y, z: f.add(f.mul(x, y), z))
-    jax.block_until_ready(fma(a, b, a))
+    out = fma(a, b, a)
+    _ = jax.device_get(out[:1])
     t0 = time.time()
-    out = a
     for _ in range(reps):
         out = fma(out, b, a)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out[:1])
     per_fma = (time.time() - t0) / reps
     print(f"field mul+add [2^20]: {per_fma*1e3:.2f} ms "
           f"-> {n/per_fma:,.0f} fused mul+adds/s", flush=True)
+
+    # Pallas plane-layout mul (field/pfield.py)
+    from zerog_tpu.field.pfield import pfr, to_planes
+
+    pf = pfr()
+    ap, bp = to_planes(a), to_planes(b)
+    outp = pf.mul(ap, bp)
+    _ = jax.device_get(outp[:1, :1, :1])
+    t0 = time.time()
+    for _ in range(reps):
+        outp = pf.mul(outp, bp)
+    _ = jax.device_get(outp[:1, :1, :1])
+    per_pal = (time.time() - t0) / reps
+    print(f"pallas field mul [2^20]: {per_pal*1e3:.2f} ms "
+          f"-> {n/per_pal:,.0f} muls/s", flush=True)
 
     # ---- NTT vs peak ------------------------------------------------------
     from zerog_tpu.poly import NttPlan

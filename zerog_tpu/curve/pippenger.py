@@ -335,10 +335,25 @@ def _pipv2_chunk_affine(carry, xs):
     return jax.lax.scan(body, carry, xs)
 
 
+def _use_pallas_scan() -> bool:
+    """The Pallas flush-scan kernel is the default on TPU (the XLA lax.scan
+    path costs ~0.4 ms per row — materialization-bound; see curve/pscan.py).
+    CPU (tests) keeps the XLA path: Pallas interpret mode is far slower than
+    XLA:CPU. Override with ZEROG_MSM_PALLAS=0/1."""
+    import os
+
+    forced = os.environ.get("ZEROG_MSM_PALLAS")
+    if forced is not None:
+        return forced not in ("0", "false", "")
+    return jax.default_backend() not in ("cpu",)
+
+
 def _flush_scan(stream, flags, affine: bool):
-    """Run the chunked flush scan over a stream [R, G, C] — affine (x, y,
-    valid) or jacobian (x, y, z) per `affine` — returning jac pieces
-    [R+1, G, C] (row r = piece flushed at step r; row R = final carry)."""
+    """Run the flush scan over a stream [R, G, C] — affine (x, y, valid) or
+    jacobian (x, y, z) per `affine` — returning jac pieces [R+1, G, C]
+    (row r = piece flushed at step r; row R = final carry)."""
+    if _use_pallas_scan():
+        return _flush_scan_pallas_adapter(stream, flags, affine)
     r_total = flags.shape[0]
     g, cdim = flags.shape[1], flags.shape[2]
     carry = jac_infinity((g, cdim))
@@ -354,6 +369,40 @@ def _flush_scan(stream, flags, affine: bool):
         jnp.concatenate([ch[comp] for ch in chunks] + [carry[comp][None]], axis=0)
         for comp in range(3)
     )
+
+
+def _flush_scan_pallas_adapter(stream, flags, affine: bool):
+    """[R, G, C] streams -> pscan row planes -> kernel -> [R+1, G, C] pieces.
+
+    Identity-valued rows: padded columns carry flag=0 and valid=0 (affine) or
+    Z=0 (jac), so their carries stay at infinity and their pieces are zero —
+    dropped later by the scatter's bucket keys exactly like real zero rows."""
+    from .pscan import (
+        flush_scan_pallas, stream_to_rowplanes, pieces_from_rowplanes)
+
+    r, g, cdim = flags.shape
+    ct = max(1024, ((g * cdim + 1023) // 1024) * 1024)
+    sx = stream_to_rowplanes(stream[0], ct)
+    sy = stream_to_rowplanes(stream[1], ct)
+    third = stream_to_rowplanes(stream[2], ct)
+    fl = stream_to_rowplanes(flags, ct)
+    # pad R to the kernel's chunk multiple with no-op rows (flag=0, invalid)
+    from .pscan import _R_CHUNK
+
+    rp = ((r + _R_CHUNK - 1) // _R_CHUNK) * _R_CHUNK
+    if rp != r:
+        pad = rp - r
+
+        def padr(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        sx, sy, third, fl = padr(sx), padr(sy), padr(third), padr(fl)
+    px, py, pz, cx, cy, cz = flush_scan_pallas(sx, sy, third, fl,
+                                               affine=affine)
+    px = jnp.concatenate([px[:r], cx[None]], axis=0)
+    py = jnp.concatenate([py[:r], cy[None]], axis=0)
+    pz = jnp.concatenate([pz[:r], cz[None]], axis=0)
+    return pieces_from_rowplanes(px, py, pz, g, cdim)
 
 
 @functools.partial(jax.jit, static_argnames=("r_rows",))
@@ -443,13 +492,21 @@ def _pipv2_weighted(stacked, bias):
 
 
 @functools.cache
-def _pip_bias():
-    """Fixed bias point K (known scalar); the host subtracts it."""
+def _pip_bias_np():
+    """Fixed bias point K (known scalar) as HOST numpy limbs. Cached at the
+    numpy level so a first call from inside a jit trace cannot poison the
+    cache with tracers (observed: jnp.asarray inside a trace returns a
+    tracer, and a functools.cache keeping it breaks every later caller)."""
     k_scalar = 0xB1A5_0FF5_E7D0_1234_5678_9ABC_DEF0_1357
     pt = g1_mul(G1_GEN, k_scalar)
     x, y, _ = points_to_device([pt])
     z = to_limbs(FQ.r_mont)  # Z = 1 in Montgomery form
-    return pt, (jnp.asarray(x[0]), jnp.asarray(y[0]), jnp.asarray(z))
+    return pt, (np.asarray(x[0]), np.asarray(y[0]), np.asarray(z))
+
+
+def _pip_bias():
+    pt, (x, y, z) = _pip_bias_np()
+    return pt, (jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
 
 
 def _pip_r_rows(m: int) -> int:
@@ -481,12 +538,21 @@ def _bucket_pipeline(prep, r_rows: int, c: int):
     g = int(pb_all.shape[1])
     lo_bits = c // 2
     hi_n, lo_n = 1 << (c - lo_bits), 1 << lo_bits
-    r_hi = _pipv2_sum_rows(tuple(
+    # the Pallas fold kernels are bit-exact replacements (same add order);
+    # weighted needs K % 8 == 0 (padded rows would repeat the a2 += a1 step)
+    use_pallas = _use_pallas_scan() and hi_n % 8 == 0
+    if use_pallas:
+        from .pfold import sum_rows_pallas, weighted_pallas
+
+        sum_rows, weighted = sum_rows_pallas, weighted_pallas
+    else:
+        sum_rows, weighted = _pipv2_sum_rows, _pipv2_weighted
+    r_hi = sum_rows(tuple(
         jnp.moveaxis(comp.reshape(g, 2, hi_n, lo_n, 16), (1, 3), (0, 1))
         .reshape(2 * lo_n, g, hi_n, 16)
         for comp in buckets
     ))
-    c_lo = _pipv2_sum_rows(tuple(
+    c_lo = sum_rows(tuple(
         jnp.moveaxis(comp.reshape(g, 2, hi_n, lo_n, 16), (1, 2), (0, 1))
         .reshape(2 * hi_n, g, lo_n, 16)
         for comp in buckets
@@ -500,7 +566,7 @@ def _bucket_pipeline(prep, r_rows: int, c: int):
             ), axis=1), 1, 0)                       # [K, G, 2, 16]
         for rh, cl in zip(r_hi, c_lo)
     )
-    acc2 = _pipv2_weighted(stacked, bias_dev)
+    acc2 = weighted(stacked, bias_dev)
 
     host = points_from_device(tuple(comp.reshape(g * 2, 16) for comp in acc2))
     neg_k = (bias_pt[0], (-bias_pt[1]) % FQ.p)

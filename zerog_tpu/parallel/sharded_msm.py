@@ -194,6 +194,12 @@ def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
     sl: uint32[B, N, 16] canonical scalar limbs (replicated; N = table point
     count). Returns [B] affine host points, identical to the single-chip
     `msm_fixed_host` result (exact group arithmetic; tested byte-identical).
+
+    Note: on a real TPU mesh the bucket pipeline's Pallas engine (r4) runs
+    per stage-call over the GSPMD-sharded prep outputs; Pallas kernels are
+    not SPMD-partitioned, so XLA replicates their inputs. On a multi-chip
+    mesh prefer ZEROG_MSM_PALLAS=0 for this path (the virtual-CPU test mesh
+    already uses the XLA engine) until the kernels get shard_map wrappers.
     """
     b = int(sl.shape[0])
     m_local = stable.w * stable.n_local
