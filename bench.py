@@ -64,16 +64,29 @@ def _ensure_backend():
 
     if not os.environ.get("ZEROG_BENCH_BACKEND_OK"):
         probe_s = int(os.environ.get("ZEROG_BENCH_PROBE_TIMEOUT", "240"))
-        try:
-            res = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print(jax.default_backend())"],
-                capture_output=True, timeout=probe_s, text=True)
-            ok = res.returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
+        # A SIGTERM'ed device process wedges the axon worker for ~30-60 min
+        # (stale pool claim); the wedge CLEARS on its own, so retry the probe
+        # a few times before condemning the whole run to the CPU fallback.
+        tries = int(os.environ.get("ZEROG_BENCH_PROBE_TRIES", "3"))
+        ok = False
+        for attempt in range(tries):
+            try:
+                res = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; jax.devices(); print(jax.default_backend())"],
+                    capture_output=True, timeout=probe_s, text=True)
+                ok = res.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok:
+                break
+            if attempt + 1 < tries:
+                print(f"TPU probe failed/hung (attempt {attempt + 1}/{tries});"
+                      " retrying in 120s (worker wedge clears on its own)",
+                      file=sys.stderr)
+                time.sleep(120)
         if not ok:
-            print(f"TPU backend probe failed/hung (>{probe_s}s); "
+            print(f"TPU backend probe failed/hung (>{probe_s}s x{tries}); "
                   "falling back to CPU", file=sys.stderr)
             import jax
 

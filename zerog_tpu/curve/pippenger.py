@@ -5,8 +5,11 @@ keygen/create_proof; SURVEY.md §2b "G1 group ops + Pippenger MSM"). Three
 strategies, all static-shape / branch-free for XLA:
 
 - "pippenger" (default): bucketed column-scan Pippenger — sort by window
-  digit, elementwise flush-scan bucket accumulation, marginal-split weighted
-  sum. Fastest; uses the INCOMPLETE Jacobian add, so it requires
+  digit, flush-scan bucket accumulation, marginal-split weighted sum. The
+  flush scan and bucket folds run as Pallas kernels on TPU (curve/pscan.py,
+  curve/pfold.py — 241k pts/s at 2^14xB4 vs 116k for the XLA lax.scan
+  engine; ZEROG_MSM_PALLAS=0 forces XLA, which remains the CPU/test path).
+  Uses the INCOMPLETE Jacobian add, so it requires
   pairwise-distinct, random-looking base points (SRS tau powers qualify: an
   internal add collision has probability ~2^-254 and would only corrupt the
   proof being built, which the verifier then rejects). Do NOT use it on
