@@ -15,6 +15,10 @@ the last parseable line. Every stage runs in a time-boxed subprocess sized
 from the remaining global budget (ZEROG_BENCH_BUDGET, default 2400 s), and
 pipeline children emit partial JSON after each phase (keygen / prove /
 verify) so even a timed-out child contributes its completed phases.
+Stage ORDER is the round-4 lesson (BENCH_r04 recorded zero proof numbers):
+Tiny/Small proof pipelines first, then the MSM/NTT microbenches (the MSM
+stage downgrades to the compile-light segscan strategy when its timebox is
+tight), then Medium and the synthetic k=17 Large.
 
 Extra keys carry the full-pipeline wall times BASELINE.md names as targets
 (keygen/prove/verify for MNIST-Tiny k=14 / Small k=15 / Medium k=15 on the
@@ -91,6 +95,11 @@ def _ensure_backend():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+            # don't pollute the shared TPU compile-cache dir with
+            # machine-specific XLA:CPU executables (SIGILL risk elsewhere)
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/zerog_tpu_jax_cpu_fallback"))
             jax.devices()
             os.environ["ZEROG_BENCH_FORCE_CPU"] = "1"
             return "cpu-fallback"
@@ -113,7 +122,11 @@ def _bench_points(n: int, cpu_fallback: bool):
 
     from zerog_tpu.curve import bn254 as c, points_to_device, fixed_base_expand
 
-    cache = os.path.expanduser(f"~/.cache/zerog_tpu_bench_points_2e{n.bit_length()-1}.npz")
+    # cache key includes the RNG seed so a change to point generation can
+    # never silently reuse stale points
+    seed = 42
+    cache = os.path.expanduser(
+        f"~/.cache/zerog_tpu_bench_points_s{seed}_2e{n.bit_length()-1}.npz")
     t0 = time.time()
     if os.path.exists(cache) and not cpu_fallback:
         d = np.load(cache)
@@ -154,6 +167,15 @@ def bench_msm(cpu_fallback: bool = False):
 
     rng = np.random.default_rng(7)
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    # compile-budget guard: the Pallas flush engine is the fastest but its
+    # COLD compile ate the whole r4 timebox (786 s); if this stage's timebox
+    # is tight and no warm compile cache can be assumed, fall back to the
+    # compile-light segscan strategy (~82 s cold, ~13x slower steady-state).
+    box = float(os.environ.get("ZEROG_STAGE_BOX", "900"))
+    if box < 500 and not os.environ.get("ZEROG_MSM_STRATEGY"):
+        os.environ["ZEROG_MSM_STRATEGY"] = "segscan"
+        print(f"stage timebox {box:.0f}s < 500s: using segscan MSM strategy",
+              file=sys.stderr)
     pdev = _bench_points(n, cpu_fallback)
 
     scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p for _ in range(n)]
@@ -438,11 +460,13 @@ def _run_stage(argv_flag: str, timeout_s: float) -> dict:
               file=sys.stderr)
         return {"skipped": argv_flag}
     print(f"--- stage {argv_flag} (timebox {timeout_s:.0f}s)", file=sys.stderr)
+    env = dict(os.environ, ZEROG_STAGE_BOX=str(int(timeout_s)))
     with tempfile.NamedTemporaryFile("w+", suffix=".out") as out:
         try:
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), argv_flag],
-                stdout=out, stderr=sys.stderr, timeout=timeout_s, text=True)
+                stdout=out, stderr=sys.stderr, timeout=timeout_s, text=True,
+                env=env)
         except subprocess.TimeoutExpired:
             print(f"stage {argv_flag} exceeded {timeout_s:.0f}s; salvaging "
                   "partial results", file=sys.stderr)
@@ -474,32 +498,37 @@ def main():
     backend = _ensure_backend()
     emit(backend=backend, status="probed")
 
-    # Stage 1: headline MSM (fast compile after the r03 scan-ification:
-    # ~300 s cold, ~30 s warm-cache).
-    updates = _run_stage("--msm-only", min(900, remaining() * 0.5))
+    if backend == "cpu-fallback" or os.environ.get("ZEROG_BENCH_FAST"):
+        updates = _run_stage("--msm-only", min(900, remaining() * 0.5))
+        emit(status="msm done" if "value" in updates else "msm failed",
+             **updates)
+        emit(status="done (fast mode)" if backend != "cpu-fallback"
+             else "done (cpu fallback)")
+        return
+
+    # Stage order (the r4 lesson — BENCH_r04 recorded ZERO proof numbers
+    # because the MSM stage's cold Pallas compile ate the budget): the
+    # BASELINE-named PROOF pipelines run FIRST, most important first, each
+    # printing cumulative partial JSON per phase so a timeout still lands
+    # everything measured. The MSM/NTT microbenches follow (the MSM stage
+    # falls back to the compile-light segscan strategy if its box is tight),
+    # then the remaining pipelines (medium, the synthetic k=17 large).
+    updates = _run_stage("--proof-only=tiny", min(1200, remaining() * 0.40))
+    emit(status="tiny pipeline done", **updates)
+    updates = _run_stage("--proof-only=small", min(1200, remaining() * 0.45))
+    emit(status="small pipeline done", **updates)
+
+    updates = _run_stage("--msm-only", min(900, remaining() * 0.45))
     if "value" in updates:
         emit(status="msm done", **updates)
     else:
         emit(status="msm failed/timed out", **updates)
 
-    if backend == "cpu-fallback" or os.environ.get("ZEROG_BENCH_FAST"):
-        emit(status="done (fast mode)" if backend != "cpu-fallback"
-             else "done (cpu fallback)")
-        return
-
-    # Stage 2: NTT diagnostic (cheap; land it before the long pipelines so a
-    # pipeline-stage kill can't cost the NTT number).
-    updates = _run_stage("--ntt-only", min(420, remaining() * 0.3))
+    updates = _run_stage("--ntt-only", min(420, remaining() * 0.35))
     emit(status="ntt done", **updates)
 
-    # Stage 3+: proof pipelines, most important first. With warm disk caches
-    # (SRS, pk, window tables, XLA executables) each stage is prove+verify
-    # only; a cold cache makes the later stages shrink/skip gracefully.
-    tags = ["tiny", "small", "medium", "large"]
-    for i, tag in enumerate(tags):
-        # leave room for the stages after this one
-        later = len(tags) - 1 - i
-        box = remaining() - 120 * later
+    for i, tag in enumerate(["medium", "large"]):
+        box = remaining() - 120 * (1 - i)   # leave room for the next stage
         updates = _run_stage(f"--proof-only={tag}", min(1800, box))
         emit(status=f"{tag} pipeline done", **updates)
     emit(status="done")

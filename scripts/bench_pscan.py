@@ -71,15 +71,26 @@ def main():
     log("jac parity OK")
 
     # ---- production shape e2e ----------------------------------------------
+    # reuse bench.py's point + window-table disk caches (build if missing)
     log_n, batch = 14, 4
     n = 1 << log_n
-    cache = os.path.expanduser(f"~/.cache/zerog_tpu_bench_points_2e{log_n}.npz")
-    d = np.load(cache)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    pdev = bench._bench_points(n, cpu_fallback=False)
     cc = pp.default_fixed_window(n)
-    tcache = os.path.expanduser(f"~/.cache/zerog_tpu_r4_wtable_{log_n}_{cc}.npz")
-    d = np.load(tcache)
-    table = pp.WindowTable(cc, n, jnp.asarray(d["tx"]), jnp.asarray(d["ty"]),
-                           jnp.asarray(d["tv"]))
+    tcache = os.path.expanduser(f"~/.cache/zerog_tpu_bench_wtable_{log_n}_{cc}.npz")
+    if os.path.exists(tcache):
+        d = np.load(tcache)
+        table = pp.WindowTable(cc, n, jnp.asarray(d["tx"]),
+                               jnp.asarray(d["ty"]), jnp.asarray(d["tv"]))
+    else:
+        t0 = time.time()
+        table = pp.build_window_table(pdev, cc)
+        jax.block_until_ready((table.tx, table.ty))
+        log(f"window table build: {time.time()-t0:.1f}s")
+        np.savez(tcache, tx=np.asarray(table.tx), ty=np.asarray(table.ty),
+                 tv=np.asarray(table.tvalid))
     scalars = [[int.from_bytes(rng.bytes(31), "little") % FR.p
                 for _ in range(n)] for _ in range(batch)]
     sl = jnp.asarray(to_limbs(np.asarray(scalars, dtype=object)))

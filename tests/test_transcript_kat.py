@@ -106,6 +106,28 @@ def test_blake2b_vectors():
     assert b2.squeeze_challenge() == (
         0x2B8226AFAE9DEC568EC24D203B795119BCE5432B20D89C2AACA1683608DFED2D
     )
+    # second consecutive squeeze: halo2 does NOT absorb the digest back, so
+    # this pins the r5 removal of the extra state.update (PARITY.md #4)
+    assert b2.squeeze_challenge() == (
+        0x27C372F879C0C64EAE9278564AB3445DEC8F726A678E24F33CFEEFC0FB226858
+    )
+
+
+def test_blake2b_compressed_point_codec():
+    """halo2curves-style compressed codec: x LE with y-parity in bit 255;
+    identity = 32 zero bytes; proof points are 32 bytes (PARITY.md #3)."""
+    from zerog_tpu.curve.bn254 import (
+        g1_mul, g1_to_compressed, g1_from_compressed)
+
+    assert g1_to_compressed(G1_GEN) == b"\x01" + b"\x00" * 31  # y=2 is even
+    for s in (1, 2, 3, 12345, 98765):
+        pt = g1_mul(G1_GEN, s)
+        enc = g1_to_compressed(pt)
+        assert len(enc) == 32 and g1_from_compressed(enc) == pt
+    assert g1_from_compressed(b"\x00" * 32) is None
+    b = Blake2bTranscriptWriter()
+    b.write_point(G1_GEN)
+    assert len(b.finalize()) == 32
 
 
 def test_transcripts_domain_separated():

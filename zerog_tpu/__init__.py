@@ -21,18 +21,29 @@ def _enable_compile_cache():
 
     import jax
 
-    # Key the cache by host CPU fingerprint: XLA:CPU AOT artifacts are
-    # machine-feature specific and loading them on a different host can
-    # SIGILL/segfault.
-    try:
-        with open("/proc/cpuinfo") as f:
-            info = [l for l in f if l.startswith(("model name", "flags"))]
-        fp = hashlib.blake2b("".join(info[:2]).encode(), digest_size=6).hexdigest()
-    except OSError:
-        fp = "generic"
+    # CPU-backend runs (tests, the driver's virtual-device dryrun) key the
+    # cache by host CPU fingerprint: XLA:CPU AOT artifacts embed machine
+    # features and loading them on a different host can SIGILL/segfault.
+    # TPU executables are serialized device programs — host-independent — so
+    # they share ONE directory; fingerprint-splitting them cost the r4 driver
+    # run a 786 s Pallas recompile on a different build machine.
+    env_plat = _os.environ.get("JAX_PLATFORMS", "")
+    cpu_run = env_plat.strip().lower() == "cpu" or (
+        "host_platform_device_count" in _os.environ.get("XLA_FLAGS", ""))
+    if cpu_run:
+        try:
+            with open("/proc/cpuinfo") as f:
+                info = [l for l in f if l.startswith(("model name", "flags"))]
+            fp = hashlib.blake2b("".join(info[:2]).encode(),
+                                 digest_size=6).hexdigest()
+        except OSError:
+            fp = "generic"
+        suffix = f"cpu_{fp}"
+    else:
+        suffix = "tpu"
     cache_dir = _os.environ.get(
         "ZEROG_COMPILE_CACHE",
-        _os.path.expanduser(f"~/.cache/zerog_tpu_jax_{fp}"),
+        _os.path.expanduser(f"~/.cache/zerog_tpu_jax_{suffix}"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -393,6 +393,42 @@ def g1_from_bytes(b: bytes):
     return pt
 
 
+def g1_to_compressed(pt) -> bytes:
+    """halo2curves 0.3.3 `G1Affine::to_bytes`: 32-byte little-endian x with
+    the parity of y packed into bit 255 (top bit of byte 31 — free since
+    q < 2^254); identity encodes as 32 zero bytes. This is the proof-point
+    encoding of halo2's Blake2bWrite transcript (PARITY.md #3)."""
+    if pt is None:
+        return b"\x00" * 32
+    x, y = pt
+    b = bytearray(FQ.to_bytes(x))
+    b[31] |= (y & 1) << 7
+    return bytes(b)
+
+
+def g1_from_compressed(b: bytes):
+    """Inverse of :func:`g1_to_compressed`; rejects non-canonical x and
+    non-residue x^3 + 3 (not a curve point)."""
+    if len(b) != 32:
+        raise ValueError("compressed G1 point must be 32 bytes")
+    raw = bytearray(b)
+    ysign = raw[31] >> 7
+    raw[31] &= 0x7F
+    x = int.from_bytes(bytes(raw), "little")
+    if x == 0 and ysign == 0:
+        return None
+    if x >= FQ.p:
+        raise ValueError("non-canonical compressed x coordinate")
+    rhs = (x * x % FQ.p * x + B_G1) % FQ.p
+    # q = 3 mod 4: sqrt via the (q+1)/4 power, then verify
+    y = pow(rhs, (FQ.p + 1) // 4, FQ.p)
+    if y * y % FQ.p != rhs:
+        raise ValueError("compressed x not on curve")
+    if (y & 1) != ysign:
+        y = FQ.p - y
+    return (x, y)
+
+
 def g2_to_bytes(pt) -> bytes:
     if pt is None:
         return b"\x00" * 128

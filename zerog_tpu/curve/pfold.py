@@ -54,14 +54,19 @@ def _sum_rows_call(l_rows: int, mt: int, interpret: bool):
         def _():
             _init_inf(cx, cy, cz)
 
-        px = [cx[i] for i in range(NLIMB)]
-        py = [cy[i] for i in range(NLIMB)]
-        pz = [cz[i] for i in range(NLIMB)]
-        for rr in range(_L_CHUNK):
+        def row(rr, carry):
+            px, py, pz = carry
             qx = [x_ref[rr, i] for i in range(NLIMB)]
             qy = [y_ref[rr, i] for i in range(NLIMB)]
             qz = [z_ref[rr, i] for i in range(NLIMB)]
-            px, py, pz = _add_incomplete(px, py, pz, qx, qy, qz)
+            return _add_incomplete(px, py, pz, qx, qy, qz)
+
+        carry0 = ([cx[i] for i in range(NLIMB)],
+                  [cy[i] for i in range(NLIMB)],
+                  [cz[i] for i in range(NLIMB)])
+        # fori_loop body traces ONE add instead of _L_CHUNK (same order,
+        # bit-exact; ~8x smaller Mosaic compile — see pscan.py)
+        px, py, pz = jax.lax.fori_loop(0, _L_CHUNK, row, carry0)
         for i in range(NLIMB):
             cx[i] = px[i]
             cy[i] = py[i]
@@ -120,12 +125,17 @@ def _weighted_call(k_rows: int, mt: int, interpret: bool):
               [a1z[i] for i in range(NLIMB)])
         p2 = ([a2x[i] for i in range(NLIMB)], [a2y[i] for i in range(NLIMB)],
               [a2z[i] for i in range(NLIMB)])
-        for rr in range(_L_CHUNK):
+
+        def row(rr, carry):
+            p1, p2 = carry
             qx = [x_ref[rr, i] for i in range(NLIMB)]
             qy = [y_ref[rr, i] for i in range(NLIMB)]
             qz = [z_ref[rr, i] for i in range(NLIMB)]
             p2 = _add_incomplete(*p2, *p1)
             p1 = _add_incomplete(*p1, qx, qy, qz)
+            return (p1, p2)
+
+        p1, p2 = jax.lax.fori_loop(0, _L_CHUNK, row, (p1, p2))
         for i in range(NLIMB):
             a1x[i], a1y[i], a1z[i] = p1[0][i], p1[1][i], p1[2][i]
             a2x[i], a2y[i], a2z[i] = p2[0][i], p2[1][i], p2[2][i]
@@ -160,9 +170,9 @@ def _pad_rows(a, chunk):
 
 
 def _to_planes3(comps, ct):
-    """Three [L, A, B, 16] arrays -> three [L, 16, ct/128, 128] plane arrays
-    (identity-padding: X=Y=Z=0 rows/lanes are infinity for the incomplete
-    add — wait, all-zero Z means infinity, and all-zero X/Y are ignored)."""
+    """Three [L, A, B, 16] arrays -> three [L, 16, ct/128, 128] plane arrays.
+    Identity-padding convention: padded lanes are all-zero, and Z = 0 encodes
+    infinity, so the incomplete add treats them as the identity."""
     return tuple(stream_to_rowplanes(c, ct) for c in comps)
 
 
@@ -188,11 +198,16 @@ def sum_rows_pallas(xs):
 
 def weighted_pallas(stacked, bias):
     """Drop-in for pippenger._pipv2_weighted: stacked jac [K, G, 2] rows
-    (k = K-1 .. 0); returns bias + sum_k k*row_k as [G, 2]."""
+    (k = K-1 .. 0); returns bias + sum_k k*row_k as [G, 2].
+
+    K must be a multiple of _L_CHUNK: a padded zero row is NOT a no-op here
+    (each row still executes a2 += a1), so silent padding would corrupt the
+    weighted sum. Callers guarantee this via the hi_n % 8 == 0 gate."""
     k_rows, g, two = stacked[0].shape[:3]
+    assert k_rows % _L_CHUNK == 0, (
+        f"weighted_pallas requires K % {_L_CHUNK} == 0 rows, got {k_rows}")
     ct = max(1024, ((g * two + 1023) // 1024) * 1024)
     sx, sy, sz = _to_planes3(stacked, ct)
-    sx, sy, sz = (_pad_rows(a, _L_CHUNK) for a in (sx, sy, sz))
     bias_rows = tuple(
         stream_to_rowplanes(jnp.broadcast_to(b, (1, g, two, NLIMB)), ct)
         for b in bias)

@@ -342,20 +342,23 @@ def _use_pallas_scan() -> bool:
     """The Pallas flush-scan kernel is the default on TPU (the XLA lax.scan
     path costs ~0.4 ms per row — materialization-bound; see curve/pscan.py).
     CPU (tests) keeps the XLA path: Pallas interpret mode is far slower than
-    XLA:CPU. Override with ZEROG_MSM_PALLAS=0/1."""
+    XLA:CPU; other accelerators (GPU) can't lower the pltpu memory spaces.
+    Override with ZEROG_MSM_PALLAS=0/1."""
     import os
 
     forced = os.environ.get("ZEROG_MSM_PALLAS")
     if forced is not None:
-        return forced not in ("0", "false", "")
-    return jax.default_backend() not in ("cpu",)
+        return forced.lower() not in ("0", "false", "off", "")
+    return jax.default_backend() in ("tpu", "axon")
 
 
-def _flush_scan(stream, flags, affine: bool):
+def _flush_scan(stream, flags, affine: bool, pallas: bool | None = None):
     """Run the flush scan over a stream [R, G, C] — affine (x, y, valid) or
     jacobian (x, y, z) per `affine` — returning jac pieces [R+1, G, C]
     (row r = piece flushed at step r; row R = final carry)."""
-    if _use_pallas_scan():
+    if pallas is None:
+        pallas = _use_pallas_scan()
+    if pallas:
         return _flush_scan_pallas_adapter(stream, flags, affine)
     r_total = flags.shape[0]
     g, cdim = flags.shape[1], flags.shape[2]
@@ -519,21 +522,32 @@ def _pip_r_rows(m: int) -> int:
                max(_PIP_R, 1 << ((m - 1).bit_length() + 1) // 2))
 
 
-def _bucket_pipeline(prep, r_rows: int, c: int):
+def _bucket_pipeline(prep, r_rows: int, c: int, pallas: bool | None = None,
+                     max_run_bound: int | None = None):
     """Shared bucket stage: flush scan -> (optional) compaction -> scatter ->
     marginal-split weighted sum. Returns ((w_hi, w_lo) host points per lane
-    group as a flat list [2*G], neg_bias, lo_bits)."""
+    group as a flat list [2*G], neg_bias, lo_bits).
+
+    `pallas` forces the engine (None -> backend default); `max_run_bound`
+    is a STATIC upper bound on the longest digit run — when given, the
+    compaction decision is made on the host without synchronizing on the
+    device `max_run` value (a per-MSM host sync + data-dependent compile
+    fork otherwise)."""
     nb = 1 << c
+    if pallas is None:
+        pallas = _use_pallas_scan()
     sx, sy, sval, flags, pb, pr, pbf, prf, max_run = prep
-    pieces = _flush_scan((sx, sy, sval), flags, affine=True)
+    pieces = _flush_scan((sx, sy, sval), flags, affine=True, pallas=pallas)
     pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
     pr_all = jnp.concatenate([pr, prf[None]], axis=0)
-    if int(max_run) > r_rows:
+    need_compact = (int(max_run) if max_run_bound is None else max_run_bound) \
+        > r_rows
+    if need_compact:
         # skewed digit distribution (common for witness columns): compact
         # pieces by bucket and rerun the flush scan — bounds pieces <= C
         stream2, keys2 = _pipv2_compact(pieces, pb_all, r_rows)
         flags, pb, pr, pbf, prf, _ = _stream_info_jit(keys2, r_rows, nb)
-        pieces = _flush_scan(stream2, flags, affine=False)
+        pieces = _flush_scan(stream2, flags, affine=False, pallas=pallas)
         pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
         pr_all = jnp.concatenate([pr, prf[None]], axis=0)
     buckets = _pipv2_scatter(pieces, pb_all, pr_all, p_max=2, c=c)
@@ -543,7 +557,7 @@ def _bucket_pipeline(prep, r_rows: int, c: int):
     hi_n, lo_n = 1 << (c - lo_bits), 1 << lo_bits
     # the Pallas fold kernels are bit-exact replacements (same add order);
     # weighted needs K % 8 == 0 (padded rows would repeat the a2 += a1 step)
-    use_pallas = _use_pallas_scan() and hi_n % 8 == 0
+    use_pallas = pallas and hi_n % 8 == 0
     if use_pallas:
         from .pfold import sum_rows_pallas, weighted_pallas
 
@@ -720,6 +734,29 @@ def build_window_table(points_dev, c: int) -> WindowTable:
     return WindowTable(c, n, tx, ty, tvalid)
 
 
+_STRATEGY_OVERRIDE: list[str | None] = [None]
+
+
+class msm_strategy:
+    """Context manager forcing the fixed-base MSM strategy for a scope
+    (stronger than ZEROG_MSM_STRATEGY). Used by keygen to run its one-time
+    commitments on the compile-light segscan pipeline: keygen is dominated
+    by cold compiles, not steady-state throughput (r4: 998.7 s of which
+    ~790 s was the Pallas flush engine's cold compile)."""
+
+    def __init__(self, strategy: str | None):
+        self.strategy = strategy
+
+    def __enter__(self):
+        self.prev = _STRATEGY_OVERRIDE[0]
+        _STRATEGY_OVERRIDE[0] = self.strategy
+        return self
+
+    def __exit__(self, *exc):
+        _STRATEGY_OVERRIDE[0] = self.prev
+        return False
+
+
 def msm_fixed_host(sl, table: WindowTable):
     """Merged-window fixed-base MSM. sl: uint32[B, N, 16] canonical scalar
     limbs; table from build_window_table. Returns [B] affine host points.
@@ -729,18 +766,27 @@ def msm_fixed_host(sl, table: WindowTable):
     r4) — segscan's 19 full-width incomplete adds are work-bound ~27x above
     the flush scan's one-pass stream, while flush's 1024 narrow steps are
     latency-bound at ~0.4 ms each and finish first. segscan compiles ~6x
-    faster and remains selectable (ZEROG_MSM_STRATEGY=segscan) for
-    compile-budget-bound contexts."""
+    faster and remains selectable (ZEROG_MSM_STRATEGY=segscan, or the
+    msm_strategy context manager) for compile-budget-bound contexts."""
     import os
 
-    if os.environ.get("ZEROG_MSM_STRATEGY", "flush") == "segscan":
+    strategy = _STRATEGY_OVERRIDE[0] or os.environ.get(
+        "ZEROG_MSM_STRATEGY", "flush")
+    if strategy == "segscan":
         return _msm_fixed_segscan(sl, table)
     b = int(sl.shape[0])
     c = table.c
-    r_rows = _pip_r_rows(int(table.tx.shape[0]))
+    m = int(table.tx.shape[0])
+    r_rows = _pip_r_rows(m)
     prep = _pipfb_prep(sl, table.tx, table.ty, table.tvalid, c=c,
                        r_rows=r_rows)
-    host, neg_k, lo_bits = _bucket_pipeline(prep, r_rows, c)
+    # ZEROG_MSM_COMPACT=always runs the compaction round unconditionally:
+    # deterministic launch structure and no per-MSM host sync on max_run
+    # (witness columns trigger compaction anyway; random rows pay one extra
+    # piece-stream scan).
+    mrb = m if os.environ.get("ZEROG_MSM_COMPACT", "auto") == "always" else None
+    host, neg_k, lo_bits = _bucket_pipeline(prep, r_rows, c,
+                                            max_run_bound=mrb)
     results = []
     for bi in range(b):
         w_hi = g1_add(host[2 * bi], neg_k)

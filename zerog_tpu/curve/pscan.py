@@ -191,7 +191,12 @@ _R_CHUNK = 8
 def _scan_kernel_affine(x_ref, y_ref, v_ref, f_ref, ox_ref, oy_ref, oz_ref,
                         cx, cy, cz):
     """One (col-tile, R-chunk) grid step: scan R_CHUNK rows, carry in VMEM
-    scratch (persists across the R grid axis — it iterates fastest)."""
+    scratch (persists across the R grid axis — it iterates fastest).
+
+    The row loop is a lax.fori_loop, not a Python unroll: the traced body is
+    ONE madd instead of R_CHUNK, which cut the Mosaic cold compile ~8x (the
+    r4 unrolled kernels cost 786 s of the driver's bench timebox). The
+    arithmetic order is unchanged, so outputs stay bit-exact."""
     import jax.experimental.pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -204,14 +209,12 @@ def _scan_kernel_affine(x_ref, y_ref, v_ref, f_ref, ox_ref, oy_ref, oz_ref,
             cy[i] = one
             cz[i] = jnp.zeros_like(cz[i])
 
-    for rr in range(_R_CHUNK):
+    def row(rr, carry):
+        px, py_, pz = carry
         qx = [x_ref[rr, i] for i in range(NLIMB)]
         qy = [y_ref[rr, i] for i in range(NLIMB)]
         qv = v_ref[rr, 0] != 0
         flag = f_ref[rr, 0] != 0
-        px = [cx[i] for i in range(NLIMB)]
-        py_ = [cy[i] for i in range(NLIMB)]
-        pz = [cz[i] for i in range(NLIMB)]
         zero = jnp.zeros_like(qx[0])
         # flushed piece: carry where flag else 0
         for i in range(NLIMB):
@@ -221,10 +224,18 @@ def _scan_kernel_affine(x_ref, y_ref, v_ref, f_ref, ox_ref, oy_ref, oz_ref,
         ax, ay, az = _madd_incomplete(px, py_, pz, qx, qy, qv)
         one = _one_mont_like(qx)
         zq = _select(qv, one, [zero] * NLIMB)
-        for i in range(NLIMB):
-            cx[i] = jnp.where(flag, qx[i], ax[i])
-            cy[i] = jnp.where(flag, qy[i], ay[i])
-            cz[i] = jnp.where(flag, zq[i], az[i])
+        ncx = [jnp.where(flag, qx[i], ax[i]) for i in range(NLIMB)]
+        ncy = [jnp.where(flag, qy[i], ay[i]) for i in range(NLIMB)]
+        ncz = [jnp.where(flag, zq[i], az[i]) for i in range(NLIMB)]
+        return (ncx, ncy, ncz)
+
+    carry0 = ([cx[i] for i in range(NLIMB)], [cy[i] for i in range(NLIMB)],
+              [cz[i] for i in range(NLIMB)])
+    fx, fy, fz = jax.lax.fori_loop(0, _R_CHUNK, row, carry0)
+    for i in range(NLIMB):
+        cx[i] = fx[i]
+        cy[i] = fy[i]
+        cz[i] = fz[i]
 
 
 def _scan_kernel_jac(x_ref, y_ref, z_ref, f_ref, ox_ref, oy_ref, oz_ref,
@@ -239,24 +250,30 @@ def _scan_kernel_jac(x_ref, y_ref, z_ref, f_ref, ox_ref, oy_ref, oz_ref,
             cy[i] = one
             cz[i] = jnp.zeros_like(cz[i])
 
-    for rr in range(_R_CHUNK):
+    def row(rr, carry):
+        px, py_, pz = carry
         qx = [x_ref[rr, i] for i in range(NLIMB)]
         qy = [y_ref[rr, i] for i in range(NLIMB)]
         qz = [z_ref[rr, i] for i in range(NLIMB)]
         flag = f_ref[rr, 0] != 0
-        px = [cx[i] for i in range(NLIMB)]
-        py_ = [cy[i] for i in range(NLIMB)]
-        pz = [cz[i] for i in range(NLIMB)]
         zero = jnp.zeros_like(qx[0])
         for i in range(NLIMB):
             ox_ref[rr, i] = jnp.where(flag, px[i], zero)
             oy_ref[rr, i] = jnp.where(flag, py_[i], zero)
             oz_ref[rr, i] = jnp.where(flag, pz[i], zero)
         ax, ay, az = _add_incomplete(px, py_, pz, qx, qy, qz)
-        for i in range(NLIMB):
-            cx[i] = jnp.where(flag, qx[i], ax[i])
-            cy[i] = jnp.where(flag, qy[i], ay[i])
-            cz[i] = jnp.where(flag, qz[i], az[i])
+        ncx = [jnp.where(flag, qx[i], ax[i]) for i in range(NLIMB)]
+        ncy = [jnp.where(flag, qy[i], ay[i]) for i in range(NLIMB)]
+        ncz = [jnp.where(flag, qz[i], az[i]) for i in range(NLIMB)]
+        return (ncx, ncy, ncz)
+
+    carry0 = ([cx[i] for i in range(NLIMB)], [cy[i] for i in range(NLIMB)],
+              [cz[i] for i in range(NLIMB)])
+    fx, fy, fz = jax.lax.fori_loop(0, _R_CHUNK, row, carry0)
+    for i in range(NLIMB):
+        cx[i] = fx[i]
+        cy[i] = fy[i]
+        cz[i] = fz[i]
 
 
 @functools.cache

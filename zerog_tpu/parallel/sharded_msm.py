@@ -195,11 +195,11 @@ def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
     count). Returns [B] affine host points, identical to the single-chip
     `msm_fixed_host` result (exact group arithmetic; tested byte-identical).
 
-    Note: on a real TPU mesh the bucket pipeline's Pallas engine (r4) runs
-    per stage-call over the GSPMD-sharded prep outputs; Pallas kernels are
-    not SPMD-partitioned, so XLA replicates their inputs. On a multi-chip
-    mesh prefer ZEROG_MSM_PALLAS=0 for this path (the virtual-CPU test mesh
-    already uses the XLA engine) until the kernels get shard_map wrappers.
+    Engine choice: on a multi-device mesh the bucket pipeline runs the XLA
+    engine — the Pallas flush-scan kernels are not SPMD-partitioned, so
+    GSPMD would replicate their inputs and silently defeat the point-sharded
+    memory scaling. On a 1-device mesh the backend default (Pallas on TPU)
+    applies.
     """
     b = int(sl.shape[0])
     m_local = stable.w * stable.n_local
@@ -209,7 +209,9 @@ def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
         prep = _prep_sharded_cache[mesh] = _make_prep_sharded(mesh)
     out = prep(jnp.asarray(sl), stable.tx, stable.ty, stable.tvalid,
                c=stable.c, r_rows=r_rows, d=stable.d)
-    host, neg_k, lo_bits = _bucket_pipeline(out, r_rows, stable.c)
+    pallas = False if mesh.devices.size > 1 else None
+    host, neg_k, lo_bits = _bucket_pipeline(out, r_rows, stable.c,
+                                            pallas=pallas)
     results = []
     for bb in range(b):
         acc = None

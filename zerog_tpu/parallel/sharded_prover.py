@@ -78,10 +78,18 @@ class ShardedSrs:
             self._tables[basis] = t
         return t
 
-    # commitments per pipeline launch: kept at 2 (vs Srs.MAX_BATCH's
-    # HBM-tapered 8) — the mesh path runs on memory-tight virtual CPU
-    # devices in tests, and batching does not change the committed points
-    MAX_BATCH = 2
+    # commitments per pipeline launch, keyed on the BACKEND (not on this
+    # being the mesh path): virtual CPU devices in tests are memory-tight
+    # (host RAM is shared by all 8), but on real TPU hardware the mesh path
+    # should batch exactly like the single-chip HBM-tapered Srs.MAX_BATCH —
+    # batching does not change the committed points.
+    @property
+    def MAX_BATCH(self) -> int:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return 2
+        return self.srs.MAX_BATCH
 
     def _msm_sharded(self, sl, basis: str):
         """sl: canonical uint32[B, N, 16] (unpadded N); returns B host points."""

@@ -64,6 +64,9 @@ class ConstraintSystem:
         self.num_advice = 0
         self.num_fixed = 0
         self.num_instance = 0
+        # original selector count (pre-compression) — pinned-vk metadata,
+        # matching halo2's cs.num_selectors which survives compression
+        self.num_selectors = 0
         self.gates: list[tuple[str, list[Expr]]] = []
         # each lookup: (name, [(input_expr, table_expr)])
         self.lookups: list[tuple[str, list[tuple[Expr, Expr]]]] = []
@@ -94,6 +97,7 @@ class ConstraintSystem:
     def selector(self) -> Selector:
         col = self.fixed_column()
         self.selector_fixed.add(col.index)
+        self.num_selectors += 1
         return Selector(col)
 
     def complex_selector(self) -> Selector:

@@ -12,8 +12,6 @@ second constraint inside one cycle doesn't split it).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
 from ..field import FR
@@ -33,29 +31,16 @@ class VerifyingKey:
         self.transcript_repr = self._compute_repr()
 
     def _compute_repr(self) -> int:
-        from .expression import canonical_bytes
+        """halo2's pinned-vk digest: blake2b-512 (personal Halo2-Verify-Key)
+        over the `format!("{:?}", vk.pinned())` Debug text with a u64 length
+        prefix, wide-reduced into Fr — reimplemented byte-for-byte in
+        plonk/pinned.py (PARITY.md #1; consumed by the reference at
+        src/wnn.rs:226 via keygen_vk)."""
+        from ..poly.domain import get_domain
+        from .pinned import transcript_repr_from_pinned
 
-        h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-        h.update(self.k.to_bytes(4, "little"))
-        h.update(self.cs.num_advice.to_bytes(4, "little"))
-        h.update(self.cs.num_fixed.to_bytes(4, "little"))
-        h.update(self.cs.num_instance.to_bytes(4, "little"))
-        # canonical CS serialization (stable under repr/dataclass changes)
-        for name, polys in self.cs.gates:
-            h.update(b"G" + name.encode())
-            for poly in polys:
-                h.update(canonical_bytes(poly))
-        for name, pairs in self.cs.lookups:
-            h.update(b"L" + name.encode())
-            for inp, tab in pairs:
-                h.update(canonical_bytes(inp) + b"|" + canonical_bytes(tab))
-        for c in self.cs.permutation_columns:
-            h.update(b"M" + c.kind.encode() + str(c.index).encode())
-        from ..curve.bn254 import g1_to_bytes
-
-        for pt in self.fixed_commitments + self.permutation_commitments:
-            h.update(g1_to_bytes(pt))
-        return int.from_bytes(h.digest(), "little") % FR.p
+        return transcript_repr_from_pinned(
+            self, get_domain(self.k, self.cs.degree()))
 
 
 class ProvingKey:
@@ -149,12 +134,22 @@ def keygen(circuit, k: int, srs, compress_selectors: bool = True) -> ProvingKey:
 
     sigmas = build_sigmas(cs, assignment, n)
 
-    fixed_commitments = (
-        srs.commit_lagrange([list(col) for col in assignment.fixed])
-        if cs.num_fixed
-        else []
-    )
-    sigma_commitments = srs.commit_lagrange([list(s) for s in sigmas]) if sigmas else []
+    # keygen's ~30 commitments are a one-time cost dominated by COMPILES, not
+    # throughput: run them on the compile-light segscan pipeline (identical
+    # points — exact group arithmetic) instead of paying the flush engine's
+    # cold Pallas compile (~790 s of r4's 998.7 s keygen).
+    # ZEROG_KEYGEN_MSM=flush restores the throughput engine.
+    from ..curve.pippenger import msm_strategy
+    import os as _os
+
+    with msm_strategy(_os.environ.get("ZEROG_KEYGEN_MSM", "segscan")):
+        fixed_commitments = (
+            srs.commit_lagrange([list(col) for col in assignment.fixed])
+            if cs.num_fixed
+            else []
+        )
+        sigma_commitments = (
+            srs.commit_lagrange([list(s) for s in sigmas]) if sigmas else [])
 
     vk = VerifyingKey(k, cs, fixed_commitments, sigma_commitments)
     return ProvingKey(vk, [col.copy() for col in assignment.fixed], sigmas)

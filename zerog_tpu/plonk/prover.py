@@ -245,9 +245,23 @@ class _VmPrims:
         self.sub = jax.jit(f.sub)
         # h*y + t — the per-term fold, fused
         self.fold = jax.jit(lambda h, y, t: f.add(f.mul(h, y), t))
-        # rotation shift as a TRACED argument: one compiled roll serves every
-        # rotation that appears in the constraint system
-        self.roll = jax.jit(lambda a, s: jnp.roll(a, s, axis=-2))
+        self._rolls: dict[int, object] = {}
+
+    def roll_static(self, shift: int):
+        """Left-rotation by a STATIC shift as a two-slice concatenate —
+        jnp.roll lowers to ~450 ms/step in fused TPU contexts (r4
+        measurement, purged from every scan via shift_fill) whereas this is
+        a plain copy. One tiny program per distinct rotation (~3 per CS)."""
+        fn = self._rolls.get(shift)
+        if fn is None:
+            import jax as _jax
+
+            def f(a, s=shift):
+                return jnp.concatenate([a[..., s:, :], a[..., :s, :]],
+                                       axis=-2)
+
+            fn = self._rolls[shift] = _jax.jit(f)
+        return fn
 
 
 @functools.cache
@@ -268,7 +282,8 @@ class _VmEnvOps(_EnvOps):
     def rot(self, arr, rotation):
         if rotation == 0:
             return arr
-        return self.prims.roll(arr, jnp.int32(-rotation * self._scale))
+        n_ext = self.domain.extended_n
+        return self.prims.roll_static((rotation * self._scale) % n_ext)(arr)
 
     def constant(self, c):
         v = self._consts.get(c)

@@ -136,7 +136,28 @@ class Domain:
         coeffs = self.plan_ext._intt_impl(evals)
         return f.mul(coeffs, jnp.asarray(self._zeta_inv_pows))
 
+    def _scale_zeta(self, coeffs):
+        """Jitted pad-to-extended + zeta coset scaling (the pointwise half of
+        coeff_to_extended, split out so the MXU NTT engine can follow it)."""
+        if getattr(self, "_scale_zeta_jit", None) is None:
+            import jax
+
+            f = jfr()
+
+            def impl(c):
+                pad = self.extended_n - c.shape[-2]
+                if pad:
+                    blk = jnp.zeros(c.shape[:-2] + (pad, 16), jnp.uint32)
+                    c = jnp.concatenate([c, blk], axis=-2)
+                return f.mul(c, jnp.asarray(self._zeta_pows))
+
+            self._scale_zeta_jit = jax.jit(impl)
+        return self._scale_zeta_jit(coeffs)
+
     def coeff_to_extended(self, coeffs):
+        if self.plan_ext._use_mxu():
+            return batched_transform(
+                lambda c: self.plan_ext.ntt(self._scale_zeta(c)), coeffs)
         if self._c2e_jit is None:
             import jax
 
@@ -145,6 +166,14 @@ class Domain:
 
     def extended_to_coeff(self, evals):
         """Inverse of coeff_to_extended; returns extended_n coefficients."""
+        if self.plan_ext._use_mxu():
+            if getattr(self, "_unzeta_jit", None) is None:
+                import jax
+
+                f = jfr()
+                self._unzeta_jit = jax.jit(
+                    lambda c: f.mul(c, jnp.asarray(self._zeta_inv_pows)))
+            return self._unzeta_jit(self.plan_ext.intt(evals))
         if self._e2c_jit is None:
             import jax
 
@@ -163,10 +192,19 @@ class Domain:
         return self._divz_jit(evals, jnp.asarray(self._t_inv))
 
     def rotate_extended(self, evals, rotation: int):
-        """Rotation by `rotation` base-domain steps on extended evals
-        (roll by rotation * extended_n/n)."""
+        """Rotation by `rotation` base-domain steps on extended evals.
+
+        Implemented as a two-slice concatenate with a STATIC shift, not
+        jnp.roll: the roll lowering measured ~450 ms/step in fused TPU
+        contexts (the same op purged from every scan via shift_fill); the
+        slice form is a plain copy. Distinct rotations are few (~3 per CS),
+        so the per-shift specialization cost is negligible."""
         scale = self.extended_n // self.n
-        return jnp.roll(evals, -rotation * scale, axis=-2)
+        s = (rotation * scale) % self.extended_n
+        if s == 0:
+            return evals
+        return jnp.concatenate(
+            [evals[..., s:, :], evals[..., :s, :]], axis=-2)
 
     # ---- host algebra ----------------------------------------------------
     def omega_pow(self, i: int) -> int:

@@ -43,6 +43,31 @@ class NttPlan:
 
         self._ntt_jit = jax.jit(lambda v: self._transform(v, self._fwd_tw))
         self._intt_jit = jax.jit(self._intt_impl)
+        self._mxu_fwd = None
+        self._mxu_inv = None
+
+    # threshold below which the MXU engine's fixed overheads beat nothing
+    MXU_MIN_LOG_N = 12
+
+    def _mxu(self, inverse: bool):
+        """Lazily built MXU (int8 DFT matmul) engine plans — the TPU hot
+        path (poly/pntt.py); bit-exact vs the butterfly path. The inverse
+        plan folds n^-1 into its last-level matrix."""
+        from .pntt import get_pntt_plan
+
+        if inverse:
+            if self._mxu_inv is None:
+                self._mxu_inv = get_pntt_plan(self.log_n, self.omega_inv,
+                                              self.n_inv)
+            return self._mxu_inv
+        if self._mxu_fwd is None:
+            self._mxu_fwd = get_pntt_plan(self.log_n, self.omega, 1)
+        return self._mxu_fwd
+
+    def _use_mxu(self) -> bool:
+        from .pntt import pntt_enabled
+
+        return self.log_n >= self.MXU_MIN_LOG_N and pntt_enabled()
 
     def _twiddles(self, omega: int):
         tables = []
@@ -79,10 +104,18 @@ class NttPlan:
 
     def ntt(self, coeffs):
         """Coefficients -> evaluations at [omega^0, omega^1, ...]."""
+        if self._use_mxu():
+            from .pntt import pntt_transform
+
+            return pntt_transform(self._mxu(False), coeffs)
         return self._ntt_jit(coeffs)
 
     def intt(self, evals):
         """Evaluations -> coefficients."""
+        if self._use_mxu():
+            from .pntt import pntt_transform
+
+            return pntt_transform(self._mxu(True), evals)
         return self._intt_jit(evals)
 
 

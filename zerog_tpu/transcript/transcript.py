@@ -103,7 +103,11 @@ class KeccakTranscriptReader(_KeccakCore):
 
 
 class _Blake2bCore:
-    """halo2-style Blake2b transcript: domain-prefix bytes before each item."""
+    """halo2's Blake2bWrite/Blake2bRead transcript (halo2_proofs
+    v2023_04_20 `transcript.rs`): domain-prefix byte before each item;
+    absorption uses UNCOMPRESSED affine coordinates (x LE || y LE) while
+    proof bytes use the COMPRESSED 32-byte codec; squeeze clones the state
+    (prefix only — the digest is NOT absorbed back)."""
 
     _PREFIX_CHALLENGE = b"\x00"
     _PREFIX_POINT = b"\x01"
@@ -118,14 +122,18 @@ class _Blake2bCore:
 
     def common_point(self, pt):
         self.state.update(self._PREFIX_POINT)
-        x, y = pt if pt is not None else (0, 0)
+        if pt is None:
+            # halo2 errors on the identity (coordinates() is None); an
+            # identity commitment cannot occur for blinded polynomials
+            raise ValueError(
+                "cannot absorb the identity point into a Blake2b transcript")
+        x, y = pt
         self.state.update(int(x).to_bytes(32, "little"))
         self.state.update(int(y).to_bytes(32, "little"))
 
     def squeeze_challenge(self) -> int:
         self.state.update(self._PREFIX_CHALLENGE)
-        digest = self.state.copy().digest()  # 64 bytes
-        self.state.update(digest)
+        digest = self.state.copy().digest()  # 64 bytes, wide-reduced mod r
         return int.from_bytes(digest, "little") % FR.p
 
 
@@ -139,10 +147,10 @@ class Blake2bTranscriptWriter(_Blake2bCore):
         self.proof += (int(s) % FR.p).to_bytes(32, "little")
 
     def write_point(self, pt):
+        from ..curve.bn254 import g1_to_compressed
+
         self.common_point(pt)
-        x, y = pt if pt is not None else (0, 0)
-        self.proof += int(x).to_bytes(32, "little")
-        self.proof += int(y).to_bytes(32, "little")
+        self.proof += g1_to_compressed(pt)
 
     def finalize(self) -> bytes:
         return bytes(self.proof)
@@ -169,15 +177,11 @@ class Blake2bTranscriptReader(_Blake2bCore):
         return v
 
     def read_point(self):
-        x = int.from_bytes(self._take(32), "little")
-        y = int.from_bytes(self._take(32), "little")
-        if x >= FQ.p or y >= FQ.p:
-            # reject non-canonical encodings: distinct byte encodings of the
-            # same point would absorb different bytes (proof malleability)
-            raise ValueError("non-canonical point coordinate")
-        pt = (x, y) if not (x == 0 and y == 0) else None
-        if not g1_is_on_curve(pt):
-            raise ValueError("proof point not on curve")
+        from ..curve.bn254 import g1_from_compressed
+
+        # g1_from_compressed rejects non-canonical x and off-curve inputs
+        # (distinct byte encodings of one point would be proof malleability)
+        pt = g1_from_compressed(self._take(32))
         self.common_point(pt)
         return pt
 
