@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,3 +54,44 @@ def test_sharded_msm_matches_host(mesh):
     got = _fold_windows_host(affine, 8)
     want = c.g1_msm_host(scalars, pts)
     assert got == want
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZEROG_TEST_TPU"),
+    reason="Pallas-under-shard_map needs the real backend: interpret-mode "
+           "kernel bodies stall XLA:CPU's LLVM for minutes per compile. "
+           "Multi-shard byte-identity is engine-independent and covered by "
+           "the CPU-mesh tests (test_sharded_prover); this asserts the "
+           "Pallas engine composes with shard_map and stays byte-equal.",
+)
+def test_pipeline_sharded_pallas_engine():
+    """The shard_mapped bucket pipeline must run the PALLAS kernels per
+    shard and produce byte-equal accumulators to the unsharded pipeline —
+    the composition VERDICT r4 flagged as mutually exclusive. Toy stream:
+    r_rows = 8; c = 4 keeps the folds on the XLA path (hi_n % 8 != 0) so
+    exactly the flush-scan Pallas kernels are under test."""
+    mesh = make_mesh(len(jax.devices()))
+    from zerog_tpu.curve.pippenger import _pipeline_device, _stream_info_jit
+    from zerog_tpu.curve.pippenger import _colmaj
+    from zerog_tpu.parallel.sharded_msm import _pipeline_sharded
+
+    d = mesh.devices.size
+    rng = np.random.default_rng(11)
+    r_rows, cbits = 8, 4
+    g, cols = d * 2, 4                     # groups divisible by mesh size
+    m = r_rows * cols
+    pts = [c.g1_mul(c.G1_GEN, int(s))
+           for s in rng.integers(1, 1 << 60, g * m)]
+    px, py, pv = (jnp.asarray(a) for a in points_to_device(pts))
+    gx = px.reshape(g, m, 16)
+    gy = py.reshape(g, m, 16)
+    gv = pv.reshape(g, m)
+    keys = jnp.sort(jnp.asarray(rng.integers(0, 1 << cbits, (g, m)),
+                                jnp.int32), axis=1)
+    sx, sy, sval = (_colmaj(a, r_rows) for a in (gx, gy, gv))
+    info = _stream_info_jit(keys, r_rows, 1 << cbits)
+    arrs = (sx, sy, sval) + info[:-1]
+    want = _pipeline_device(arrs, r_rows, cbits, pallas=True, compact=True)
+    got = _pipeline_sharded(mesh, arrs, r_rows, cbits, pallas=True)
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -522,27 +522,18 @@ def _pip_r_rows(m: int) -> int:
                max(_PIP_R, 1 << ((m - 1).bit_length() + 1) // 2))
 
 
-def _bucket_pipeline(prep, r_rows: int, c: int, pallas: bool | None = None,
-                     max_run_bound: int | None = None):
-    """Shared bucket stage: flush scan -> (optional) compaction -> scatter ->
-    marginal-split weighted sum. Returns ((w_hi, w_lo) host points per lane
-    group as a flat list [2*G], neg_bias, lo_bits).
-
-    `pallas` forces the engine (None -> backend default); `max_run_bound`
-    is a STATIC upper bound on the longest digit run — when given, the
-    compaction decision is made on the host without synchronizing on the
-    device `max_run` value (a per-MSM host sync + data-dependent compile
-    fork otherwise)."""
+def _pipeline_device(arrs, r_rows: int, c: int, pallas: bool, compact: bool):
+    """PURE-DEVICE bucket pipeline: flush scan -> (optional) compaction ->
+    scatter -> marginal-split weighted sum. `arrs` are the prep outputs
+    minus max_run; returns the weighted accumulators, jac components
+    [G, 2, 16]. Group-parallel along G, so the mesh path can shard_map it
+    (sharded_msm.py) and run the Pallas kernels per point shard."""
     nb = 1 << c
-    if pallas is None:
-        pallas = _use_pallas_scan()
-    sx, sy, sval, flags, pb, pr, pbf, prf, max_run = prep
+    sx, sy, sval, flags, pb, pr, pbf, prf = arrs
     pieces = _flush_scan((sx, sy, sval), flags, affine=True, pallas=pallas)
     pb_all = jnp.concatenate([pb, pbf[None]], axis=0)
     pr_all = jnp.concatenate([pr, prf[None]], axis=0)
-    need_compact = (int(max_run) if max_run_bound is None else max_run_bound) \
-        > r_rows
-    if need_compact:
+    if compact:
         # skewed digit distribution (common for witness columns): compact
         # pieces by bucket and rerun the flush scan — bounds pieces <= C
         stream2, keys2 = _pipv2_compact(pieces, pb_all, r_rows)
@@ -575,7 +566,7 @@ def _bucket_pipeline(prep, r_rows: int, c: int, pallas: bool | None = None,
         for comp in buckets
     ))
 
-    bias_pt, bias_dev = _pip_bias()
+    _, bias_dev = _pip_bias()
     stacked = tuple(
         jnp.moveaxis(
             jnp.flip(jnp.stack(
@@ -583,11 +574,30 @@ def _bucket_pipeline(prep, r_rows: int, c: int, pallas: bool | None = None,
             ), axis=1), 1, 0)                       # [K, G, 2, 16]
         for rh, cl in zip(r_hi, c_lo)
     )
-    acc2 = weighted(stacked, bias_dev)
+    return weighted(stacked, bias_dev)
 
+
+def _bucket_pipeline(prep, r_rows: int, c: int, pallas: bool | None = None,
+                     max_run_bound: int | None = None):
+    """Host-facing bucket stage. Returns ((w_hi, w_lo) host points per lane
+    group as a flat list [2*G], neg_bias, lo_bits).
+
+    `pallas` forces the engine (None -> backend default); `max_run_bound`
+    is a STATIC upper bound on the longest digit run — when given, the
+    compaction decision is made on the host without synchronizing on the
+    device `max_run` value (a per-MSM host sync + data-dependent compile
+    fork otherwise)."""
+    if pallas is None:
+        pallas = _use_pallas_scan()
+    max_run = prep[-1]
+    compact = (int(max_run) if max_run_bound is None else max_run_bound) \
+        > r_rows
+    acc2 = _pipeline_device(prep[:-1], r_rows, c, pallas, compact)
+    g = int(acc2[0].shape[0])
     host = points_from_device(tuple(comp.reshape(g * 2, 16) for comp in acc2))
+    bias_pt, _ = _pip_bias()
     neg_k = (bias_pt[0], (-bias_pt[1]) % FQ.p)
-    return host, neg_k, lo_bits
+    return host, neg_k, c // 2
 
 
 def msm_pippenger_host(sl, px, py, pvalid, c: int):

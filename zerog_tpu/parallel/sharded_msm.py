@@ -26,11 +26,13 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..curve.bn254 import g1_add, g1_mul
-from ..curve.jpoints import jac_add, jac_roll, jac_select
+from ..curve.jpoints import jac_add, jac_roll, jac_select, points_from_device
 from ..curve.pippenger import (
-    _bucket_pipeline, _digits, _digits_balanced, _one_window, _pip_r_rows,
-    _prep_core, _window_layout, WindowTable,
+    _digits, _digits_balanced, _one_window, _pip_bias, _pip_r_rows,
+    _pipeline_device, _prep_core, _use_pallas_scan, _window_layout,
+    WindowTable,
 )
+from ..field import FQ
 from .mesh import AXIS
 
 __all__ = ["sharded_msm_device", "ShardedWindowTable", "msm_fixed_sharded"]
@@ -186,6 +188,38 @@ def _make_prep_sharded(mesh):
 
 
 _prep_sharded_cache: dict = {}
+_pipeline_sharded_cache: dict = {}
+
+
+def _pipeline_sharded(mesh, arrs, r_rows: int, c: int, pallas: bool):
+    """shard_map the pure-device bucket pipeline along the group axis.
+
+    arrs: the prep outputs minus max_run — sx/sy [R, G, C, 16],
+    sval/flags/pb/pr [R, G, C], pbf/prf [G, C], with G = d*B laid out
+    device-major, so sharding G over the mesh axis gives each device exactly
+    its own point shard's groups. Inside the shard, the Pallas kernels see
+    local shapes and run per device (the whole point of the wrapper —
+    GSPMD alone would replicate their inputs). Output: jac components
+    [G, 2, 16], sharded along G.
+    """
+    key = (mesh, r_rows, c, pallas)
+    prog = _pipeline_sharded_cache.get(key)
+    if prog is None:
+        def local(sx, sy, sval, flags, pb, pr, pbf, prf):
+            return _pipeline_device((sx, sy, sval, flags, pb, pr, pbf, prf),
+                                    r_rows, c, pallas, compact=True)
+
+        g4 = P(None, AXIS, None, None)
+        g3 = P(None, AXIS, None)
+        g2 = P(AXIS, None)
+        prog = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(g4, g4, g3, g3, g3, g3, g2, g2),
+            out_specs=(P(AXIS),) * 3,
+            check_vma=False,
+        ))
+        _pipeline_sharded_cache[key] = prog
+    return prog(*arrs)
 
 
 def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
@@ -195,11 +229,13 @@ def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
     count). Returns [B] affine host points, identical to the single-chip
     `msm_fixed_host` result (exact group arithmetic; tested byte-identical).
 
-    Engine choice: on a multi-device mesh the bucket pipeline runs the XLA
-    engine — the Pallas flush-scan kernels are not SPMD-partitioned, so
-    GSPMD would replicate their inputs and silently defeat the point-sharded
-    memory scaling. On a 1-device mesh the backend default (Pallas on TPU)
-    applies.
+    The bucket pipeline runs under shard_map along the group axis (groups =
+    (device, batch) pairs), so each device executes the complete pipeline —
+    including the Pallas flush-scan/fold kernels on TPU — over its LOCAL
+    point shard; only the final weighted accumulators leave the shards.
+    Compaction always runs on the mesh path: the per-shard region cannot
+    host-sync on max_run, and a deterministic launch structure is what the
+    collective scheduler wants anyway.
     """
     b = int(sl.shape[0])
     m_local = stable.w * stable.n_local
@@ -209,9 +245,14 @@ def msm_fixed_sharded(mesh, sl, stable: ShardedWindowTable):
         prep = _prep_sharded_cache[mesh] = _make_prep_sharded(mesh)
     out = prep(jnp.asarray(sl), stable.tx, stable.ty, stable.tvalid,
                c=stable.c, r_rows=r_rows, d=stable.d)
-    pallas = False if mesh.devices.size > 1 else None
-    host, neg_k, lo_bits = _bucket_pipeline(out, r_rows, stable.c,
-                                            pallas=pallas)
+    acc2 = _pipeline_sharded(mesh, out[:-1], r_rows, stable.c,
+                             _use_pallas_scan())
+    g = int(acc2[0].shape[0])
+    host = points_from_device(
+        tuple(comp.reshape(g * 2, 16) for comp in acc2))
+    bias_pt, _ = _pip_bias()
+    neg_k = (bias_pt[0], (-bias_pt[1]) % FQ.p)
+    lo_bits = stable.c // 2
     results = []
     for bb in range(b):
         acc = None

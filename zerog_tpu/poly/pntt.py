@@ -446,19 +446,20 @@ class _DevicePlan:
             self.rowc[key] = jnp.asarray(rc.astype(np.int32))
         self._tw_dev = {}
 
-    def twiddle_planes(self, log_m, omega_m, r, s, g):
-        """[16, s, r*g] uint32 twiddle planes (g = per-i1 batch width)."""
+    def twiddle_planes(self, log_m, omega_m, r, s):
+        """[16, s, r] uint32 twiddle planes (the COMPACT form; the per-lane
+        broadcast to [16, s, r*g] happens inside the traced transform so the
+        expanded tensor is a runtime temporary, never resident — at k=19 the
+        expanded form is ~270 MB)."""
         import jax.numpy as jnp
 
-        key = (log_m, omega_m, r, s, g)
+        key = (log_m, omega_m, r, s)
         tw = self._tw_dev.get(key)
         if tw is None:
             host = self.plan.twiddle_bytes(log_m, omega_m, r, s)  # [r, s, 16]
             arr = jnp.asarray(host)                    # [r, s, 16]
             arr = jnp.moveaxis(arr, 2, 0)              # [16, r, s]
-            arr = jnp.swapaxes(arr, 1, 2)              # [16, s, r]
-            arr = jnp.broadcast_to(arr[:, :, :, None], (16, s, r, g))
-            tw = self._tw_dev[key] = arr.reshape(16, s, r * g)
+            tw = self._tw_dev[key] = jnp.swapaxes(arr, 1, 2)  # [16, s, r]
         return tw
 
 
@@ -506,13 +507,14 @@ def _run_device(dp: _DevicePlan, prog, xb, out_bytes: bool):
     # axis1 (i = i1 + r*i2) reshapes to [s, r] with i2 major — zero-copy
     inner_in = xb.reshape(32, s, r * g)
     inner_out = _run_device(dp, prog["inner"], inner_in, out_bytes=True)
-    # twiddle omega_m^(i1*j2) — folded into a twiddled IDENTITY epilogue?
-    # No: applied via the outer matmul level's input? The outer matmul
-    # contracts over i1, so the twiddle must multiply inputs first. We run
-    # it as the epilogue of a dedicated pass-through... instead we apply it
-    # inside the OUTER level's epilogue? Also no (wrong side). It is its own
-    # Montgomery-mul kernel pass:
-    tw = dp.twiddle_planes(prog["log_m"], prog["omega"], r, s, g)
+    # twiddle omega_m^(i1*j2): a dedicated Montgomery-mul kernel pass (the
+    # outer matmul contracts over i1, so its inputs must be pre-twiddled;
+    # folding into an epilogue would require i1-dependent matrices)
+    import jax.numpy as jnp
+
+    twc = dp.twiddle_planes(prog["log_m"], prog["omega"], r, s)  # [16, s, r]
+    tw = jnp.broadcast_to(twc[:, :, :, None],
+                          (16, s, r, g)).reshape(16, s, r * g)
     xb2 = _twiddle_call(s, r * g, _interpret())(inner_out, tw)
     # regroup for the outer r-point transforms along i1, batched over (j2, g)
     xb3 = (xb2.reshape(32, s, r, g).transpose(0, 2, 1, 3)
@@ -590,9 +592,17 @@ def byteplanes_from_limb_planes(planes):
     return jnp.moveaxis(planes, 0, 2).swapaxes(0, 1)
 
 
+_transform_jit_cache: dict = {}
+
+
 def pntt_transform(plan: PnttPlan, values):
     """values: uint32 Montgomery limbs [B, n, 16] or [n, 16] -> transformed
-    (natural order), same shape. Bit-exact vs NttPlan's butterfly path."""
+    (natural order), same shape. Bit-exact vs NttPlan's butterfly path.
+
+    The ENTIRE engine (layout conversion, int8 matmuls, Pallas epilogues,
+    inter-level transposes) traces into ONE jitted program per (plan, shape):
+    dispatched piecewise it cost ~25 eager launches — ~95 ms of tunnel
+    round trips per transform on the axon runtime."""
     import jax
     import jax.numpy as jnp
 
@@ -614,9 +624,17 @@ def pntt_transform(plan: PnttPlan, values):
             [x, jnp.zeros((pad,) + x.shape[1:], jnp.uint32)], axis=0)
         g += pad
     dp = _device_plan(plan)
-    xb = limbs_to_byteplanes(x)                 # [32, n, G]
-    out_planes = _run_device(dp, plan._program, xb, out_bytes=False)
-    out = byteplanes_from_limb_planes(out_planes)   # [G, n, 16]
+
+    key = (id(plan), g)
+    fn = _transform_jit_cache.get(key)
+    if fn is None:
+        def impl(arr):
+            xb = limbs_to_byteplanes(arr)           # [32, n, G]
+            out_planes = _run_device(dp, plan._program, xb, out_bytes=False)
+            return byteplanes_from_limb_planes(out_planes)  # [G, n, 16]
+
+        fn = _transform_jit_cache[key] = jax.jit(impl)
+    out = fn(x)
     out = out[:b]
     return out[0] if single else out
 
