@@ -75,11 +75,17 @@ def _ensure_backend():
         ok = False
         for attempt in range(tries):
             try:
+                # the probe must COMPUTE, not just enumerate: a wedged axon
+                # worker still answers jax.devices() but blocks forever on
+                # the first executable (observed r5: devices() fine at
+                # t+0, compute wedged for >60 min from t+8 min on)
                 res = subprocess.run(
                     [sys.executable, "-c",
-                     "import jax; jax.devices(); print(jax.default_backend())"],
+                     "import jax, jax.numpy as jnp; jax.devices();"
+                     "jnp.ones((8,8)).sum().block_until_ready();"
+                     "print('ok', jax.default_backend())"],
                     capture_output=True, timeout=probe_s, text=True)
-                ok = res.returncode == 0
+                ok = res.returncode == 0 and "ok" in res.stdout
             except subprocess.TimeoutExpired:
                 ok = False
             if ok:
@@ -240,8 +246,11 @@ def bench_msm(cpu_fallback: bool = False):
 
 
 def bench_ntt():
-    """NTT diagnostic (butterflies/s at 2^16 — the extended domain of the
-    k=14 Tiny circuit, so the program is warm after a Tiny proof).
+    """NTT throughput (butterflies/s at 2^16, batch 8 — the prover's NTTs
+    are batched via the NTT_BATCH shape normalization, and 2^16 is the
+    extended domain of the k=14 Tiny circuit, so the program is warm after a
+    Tiny proof). On TPU this exercises the MXU int8-DFT-matmul engine
+    (poly/pntt.py); on the CPU fallback, the XLA butterfly path.
 
     Timing discipline (r4 lesson, pinned in ARCHITECTURE.md): on the
     tunneled axon runtime `block_until_ready` does NOT reliably wait, so the
@@ -256,23 +265,24 @@ def bench_ntt():
 
     rng = np.random.default_rng(3)
     plan = NttPlan(16)
+    batch = 8
     vals = jnp.asarray(
-        to_limbs([int(x) for x in rng.integers(0, 1 << 62, 1 << 16)], FR,
-                 mont=True))
+        to_limbs([[int(x) for x in rng.integers(0, 1 << 62, 1 << 16)]
+                  for _ in range(batch)], FR, mont=True))
 
     t0 = time.time()
     r = plan.ntt(vals)
-    _ = jax.device_get(r[:1])
+    _ = jax.device_get(r[:1, :1])
     print(f"ntt compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
     reps = 10
     t0 = time.time()
     for _ in range(reps):
         r = plan.ntt(r)
-    _ = jax.device_get(r[:1])
+    _ = jax.device_get(r[:1, :1])
     ntt_s = (time.time() - t0) / reps
-    bflies = (1 << 15) * 16
-    print(f"ntt 2^16: {ntt_s*1e3:.1f} ms -> {bflies/ntt_s:,.0f} butterflies/s",
-          file=sys.stderr)
+    bflies = batch * (1 << 15) * 16
+    print(f"ntt 2^16 x B{batch}: {ntt_s*1e3:.1f} ms "
+          f"-> {bflies/ntt_s:,.0f} butterflies/s", file=sys.stderr)
     return bflies / ntt_s
 
 
@@ -453,8 +463,22 @@ def _run_stage(argv_flag: str, timeout_s: float) -> dict:
     import subprocess
 
     if _CHIP_WEDGED:
-        print(f"chip wedged; skipping {argv_flag}", file=sys.stderr)
-        return {"skipped": argv_flag}
+        # wedges CLEAR on their own (stale pool claim, ~30-60 min); if this
+        # stage's box leaves room, wait out a slice of it and re-probe
+        # instead of writing the stage off immediately.
+        if timeout_s > 900 and _chip_healthy():
+            print("chip recovered; resuming TPU stages", file=sys.stderr)
+            _CHIP_WEDGED = False
+        elif timeout_s > 1500:
+            print("chip wedged; waiting 600s then re-probing", file=sys.stderr)
+            time.sleep(600)
+            timeout_s -= 600
+            if _chip_healthy():
+                print("chip recovered; resuming TPU stages", file=sys.stderr)
+                _CHIP_WEDGED = False
+        if _CHIP_WEDGED:
+            print(f"chip wedged; skipping {argv_flag}", file=sys.stderr)
+            return {"skipped": argv_flag}
     if timeout_s < 60:
         print(f"budget too low ({timeout_s:.0f}s); skipping {argv_flag}",
               file=sys.stderr)
