@@ -537,9 +537,12 @@ def main():
     # everything measured. The MSM/NTT microbenches follow (the MSM stage
     # falls back to the compile-light segscan strategy if its box is tight),
     # then the remaining pipelines (medium, the synthetic k=17 large).
-    updates = _run_stage("--proof-only=tiny", min(1200, remaining() * 0.40))
+    # caps sized for a fully-cold machine (srs ~40s + keygen ~420s + first
+    # prove ~600s at k=14); under the driver's default 2400s budget the
+    # 0.4x-remaining term binds instead, and warm caches make that enough
+    updates = _run_stage("--proof-only=tiny", min(1800, remaining() * 0.40))
     emit(status="tiny pipeline done", **updates)
-    updates = _run_stage("--proof-only=small", min(1200, remaining() * 0.45))
+    updates = _run_stage("--proof-only=small", min(1800, remaining() * 0.45))
     emit(status="small pipeline done", **updates)
 
     updates = _run_stage("--msm-only", min(900, remaining() * 0.45))
